@@ -1,0 +1,73 @@
+"""Unit tests for spectrum loading and Walker alias sampling."""
+
+import numpy as np
+import pytest
+
+from cbctmc_tpu.physics.spectrum import Spectrum, build_walker_alias, default_spectrum
+
+
+def test_default_spectrum_mean_energy():
+    # The reference records 63.140 keV as the mean energy of the
+    # 0.89 mm Ti spectrum (cbctmc/mc/reference.py:4) and uses the
+    # varian_norm variant as default source spectrum.
+    s = default_spectrum("125kVp_0.89mmTi")
+    assert s.mean_energy == pytest.approx(63_140, rel=1e-3)
+
+    s = default_spectrum()
+    assert s.min_energy >= 5000.0
+    assert s.max_energy <= 125_500.0
+
+
+def test_walker_alias_reproduces_distribution():
+    rng = np.random.default_rng(0)
+    weights = rng.random(17) ** 2
+    weights[3] = 0.0
+    cutoff, alias = build_walker_alias(weights)
+
+    n = len(weights)
+    u = rng.random(400_000)
+    rn = u * n
+    int_part = rn.astype(int)
+    frac = rn - int_part
+    sampled = np.where(frac < cutoff[int_part], int_part, alias[int_part])
+
+    freq = np.bincount(sampled, minlength=n) / len(sampled)
+    expected = weights / weights.sum()
+    np.testing.assert_allclose(freq, expected, atol=3e-3)
+    assert freq[3] == 0.0
+
+
+def test_walker_alias_single_bin():
+    cutoff, alias = build_walker_alias(np.array([2.0]))
+    assert alias[0] == 0
+
+
+def test_spectrum_sampling_statistics():
+    s = default_spectrum()
+    rng = np.random.default_rng(1)
+    n = 500_000
+    u1 = rng.random(n)
+    rn = u1 * s.n_bins
+    int_part = rn.astype(int)
+    frac = rn - int_part
+    bins = np.where(frac < s.cutoff[int_part], int_part, s.alias[int_part])
+    u2 = rng.random(n)
+    energies = s.energies[bins] + u2 * (s.energies[bins + 1] - s.energies[bins])
+
+    assert energies.mean() == pytest.approx(s.mean_energy, rel=2e-3)
+    assert energies.min() >= s.min_energy
+    assert energies.max() <= s.max_energy
+
+
+def test_beer_lambert_filter():
+    s = Spectrum(
+        name="flat",
+        energies=np.array([10e3, 20e3, 30e3], np.float32),
+        probabilities=np.array([1.0, 1.0], np.float32),
+    )
+    mu_e = np.array([0.0, 100e3])
+    mu = np.array([1.0, 1.0])  # 1/cm constant
+    filtered = s.filter(mu_e, mu, thickness_cm=1.0)
+    np.testing.assert_allclose(
+        filtered.probabilities, np.exp(-1.0) * s.probabilities, rtol=1e-6
+    )
