@@ -1,0 +1,394 @@
+"""Vectorized interaction samplers.
+
+The reference engine's per-thread rejection loops (PENELOPE-2006 GCOa
+Compton sampling with Doppler-broadened analytic shell profiles, RITA
+Rayleigh form-factor sampling, PENMAIN square-field fan-beam source;
+reference: docker/mcgpu/MC-GPU_kernel_v1.3.cu:626-686, 1181-1246,
+1287-1515) are recast here as fixed-trip masked iterations over the whole
+photon batch: every trip proposes for all not-yet-accepted lanes and commits
+accepted proposals. Trip counts are chosen so the probability of exhausting
+them is < 1e-6 per lane; exhausted lanes keep their last proposal (bias far
+below Monte-Carlo noise at any practical history count).
+
+All samplers are shape-polymorphic over the lane axis and pure; masked-out
+lanes pass their inputs through unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cbctmc_tpu.engine.rng import uniform_open, uniforms_open
+from cbctmc_tpu.engine.tables import DeviceTables
+from cbctmc_tpu.physics.constants import (
+    INV_ELECTRON_REST_ENERGY,
+    ELECTRON_REST_ENERGY_EV,
+    NP_RAYLEIGH,
+    RAYLEIGH_X_FACTOR,
+    TWO_PI,
+)
+
+_SQRT_HALF = 0.70710678118654502
+_SQRT_TWO = 1.4142135623731
+
+# fixed trip counts for the masked rejection iterations
+SOURCE_DIR_TRIPS = 4
+COMPTON_TAU_TRIPS = 8
+COMPTON_SHELL_TRIPS = 8
+RAYLEIGH_TRIPS = 10
+
+
+def _profile_cdf_complement_terms(pzomc: jnp.ndarray) -> jnp.ndarray:
+    """The analytic one-electron Compton profile integral
+    n(pz) = 1 - 0.5*exp(0.5 - (1/sqrt2 + sqrt2*pz)^2)  for pz > 0
+          =     0.5*exp(0.5 - (1/sqrt2 - sqrt2*pz)^2)  for pz <= 0
+    (PENELOPE 2006 eq. 2.54-2.58)."""
+    t = jnp.where(
+        pzomc > 0.0,
+        (_SQRT_HALF + pzomc * _SQRT_TWO) ** 2,
+        (_SQRT_HALF - pzomc * _SQRT_TWO) ** 2,
+    )
+    val = 0.5 * jnp.exp(jnp.minimum(0.5 - t, 0.0))
+    return jnp.where(pzomc > 0.0, 1.0 - val, val)
+
+
+def _shell_pzomc(
+    energy: jnp.ndarray, ui: jnp.ndarray, j0: jnp.ndarray, cdt1: jnp.ndarray
+) -> jnp.ndarray:
+    """Maximum projected electron momentum (units of m_e*c) transferable to a
+    shell with ionisation energy ui at scattering 1-cos(theta) = cdt1."""
+    aux = energy * (energy - ui) * cdt1
+    safe = (aux > 1.0e-12) | (ui > 1.0e-12)
+    denom = jax.lax.rsqrt(jnp.maximum(aux + aux + ui * ui, 1.0e-30))
+    pz = j0 * (aux - ui * ELECTRON_REST_ENERGY_EV) * denom * INV_ELECTRON_REST_ENERGY
+    # rough fallback used by the reference for the degenerate aux=ui=0 case
+    return jnp.where(safe, pz, 0.002)
+
+
+def compton_scatter(
+    key: jax.Array,
+    energy: jnp.ndarray,
+    mat: jnp.ndarray,
+    tables: DeviceTables,
+    mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample Compton scattering: returns (new_energy, cos_theta).
+
+    Implements the PENELOPE-2006 relativistic impulse approximation: tau is
+    sampled from the Klein-Nishina composition scheme and accepted against
+    the ratio of incoherent scattering functions S(E,theta)/S(E,pi), then a
+    target shell and Doppler-broadened projected momentum determine the
+    energy loss.
+    """
+    n = energy.shape[0]
+    s_max = tables.max_shells
+
+    ek = energy * INV_ELECTRON_REST_ENERGY
+    ek2 = ek * 2.0 + 1.0
+    ek3 = ek * ek
+    ek1 = ek3 - ek2 - 1.0
+    taumin = 1.0 / ek2
+    a1 = jnp.log(ek2)
+    a2 = a1 + 2.0 * ek * (ek + 1.0) * taumin * taumin
+
+    # gather shell tables for each lane: [n, s_max]
+    f = tables.shell_f[mat]
+    ui = tables.shell_ui[mat]
+    j0 = tables.shell_j0[mat]
+    open_shell = ui < energy[:, None]
+    f_open = jnp.where(open_shell, f, 0.0)
+    # padded shells carry ui=+inf; keep the arithmetic finite (their
+    # contribution is masked out anyway)
+    ui = jnp.where(open_shell, ui, 0.0)
+
+    # --- incoherent scattering function at theta = pi ------------------
+    pz0 = _shell_pzomc(energy[:, None], ui, j0, jnp.float32(2.0))
+    s0 = jnp.sum(f_open * _profile_cdf_complement_terms(pz0), axis=1)
+
+    # --- masked rejection sampling of tau ------------------------------
+    k_tau, k_shell, key = jax.random.split(key, 3)
+
+    def tau_trip(i, carry):
+        tau, cdt1, s, rn, accepted = carry
+        u1, u2, u3 = uniforms_open(jax.random.fold_in(k_tau, i), 3, (n,))
+        tau_prop = jnp.where(
+            u1 * a2 < a1,
+            jnp.power(taumin, u2),
+            jnp.sqrt(1.0 + u2 * (taumin * taumin - 1.0)),
+        )
+        cdt1_prop = jnp.minimum(
+            (1.0 - tau_prop) / (tau_prop * ek), jnp.float32(1.99999999)
+        )
+        pz = _shell_pzomc(energy[:, None], ui, j0, cdt1_prop[:, None])
+        rn_prop = _profile_cdf_complement_terms(pz)
+        s_prop = jnp.sum(f_open * rn_prop, axis=1)
+        # Klein-Nishina * S ratio rejection
+        t_kn = (
+            s_prop
+            * (1.0 + tau_prop * (ek1 + tau_prop * (ek2 + tau_prop * ek3)))
+            / (ek3 * tau_prop * (tau_prop * tau_prop + 1.0))
+        )
+        accept_now = (u3 * s0 <= t_kn) & ~accepted
+        take = accept_now | (~accepted & (i == COMPTON_TAU_TRIPS - 1))
+        tau = jnp.where(take, tau_prop, tau)
+        cdt1 = jnp.where(take, cdt1_prop, cdt1)
+        s = jnp.where(take, s_prop, s)
+        rn = jnp.where(take[:, None], rn_prop, rn)
+        return tau, cdt1, s, rn, accepted | accept_now
+
+    tau0 = jnp.ones((n,), jnp.float32)
+    carry = (tau0, tau0, jnp.ones((n,), jnp.float32), jnp.zeros((n, s_max)), ~mask)
+    tau, cdt1, s, rn, _ = jax.lax.fori_loop(0, COMPTON_TAU_TRIPS, tau_trip, carry)
+    costh = 1.0 - cdt1
+
+    # --- target shell + Doppler-broadened momentum ---------------------
+    rn_weighted = f_open * jnp.where(open_shell, rn, 0.0)
+    cum = jnp.cumsum(rn_weighted, axis=1)
+    last_open = jnp.maximum(jnp.sum(open_shell.astype(jnp.int32), axis=1) - 1, 0)
+
+    def shell_trip(i, carry):
+        pzomc, ishell, accepted = carry
+        u1, u2, u3 = uniforms_open(jax.random.fold_in(k_shell, i), 3, (n,))
+        target = (s * u1)[:, None]
+        # first open shell whose cumulative f*rn exceeds target; default last
+        hit = (cum > target) & open_shell
+        idx = jnp.argmax(hit, axis=1)
+        idx = jnp.where(hit.any(axis=1), idx, last_open)
+
+        rn_i = jnp.take_along_axis(rn, idx[:, None], axis=1)[:, 0]
+        j0_i = jnp.take_along_axis(j0, idx[:, None], axis=1)[:, 0]
+        t = jnp.clip(u2 * rn_i, 1e-12, 1.0 - 1e-7)
+        pz_prop = jnp.where(
+            t < 0.5,
+            (_SQRT_HALF - jnp.sqrt(0.5 - jnp.log(t + t))) / (j0_i * _SQRT_TWO),
+            (jnp.sqrt(0.5 - jnp.log(2.0 - 2.0 * t)) - _SQRT_HALF) / (j0_i * _SQRT_TWO),
+        )
+        physical = pz_prop >= -1.0
+
+        # F(E') rejection
+        xqc = 1.0 + tau * (tau - 2.0 * costh)
+        af = jnp.where(
+            xqc > 1.0e-20,
+            jnp.sqrt(jnp.maximum(xqc, 1e-30)) * (tau * (tau - costh) / jnp.maximum(xqc, 1e-30) + 1.0),
+            0.002,
+        )
+        fpzmax = jnp.where(af > 0.0, 1.0 + af * 0.2, 1.0 - af * 0.2)
+        fpz = 1.0 + af * jnp.clip(pz_prop, -0.2, 0.2)
+        accept_now = physical & (u3 * fpzmax <= fpz) & ~accepted
+
+        take = accept_now | (~accepted & physical & (i == COMPTON_SHELL_TRIPS - 1))
+        pzomc = jnp.where(take, pz_prop, pzomc)
+        ishell = jnp.where(take, idx, ishell)
+        return pzomc, ishell, accepted | accept_now
+
+    carry = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.int32), ~mask)
+    pzomc, _, _ = jax.lax.fori_loop(0, COMPTON_SHELL_TRIPS, shell_trip, carry)
+
+    # --- scattered photon energy ---------------------------------------
+    t = pzomc * pzomc
+    b1 = 1.0 - t * tau * tau
+    b2 = 1.0 - t * tau * costh
+    root = jnp.sqrt(jnp.abs(b2 * b2 - b1 * (1.0 - t)))
+    root = jnp.where(pzomc < 0.0, -root, root)
+    factor = jnp.minimum((tau / b1) * (b2 + root), 1.0)
+    new_energy = energy * factor
+
+    new_energy = jnp.where(mask, new_energy, energy)
+    costh = jnp.where(mask, costh, 1.0)
+    return new_energy, costh
+
+
+def rayleigh_scatter(
+    key: jax.Array,
+    energy: jnp.ndarray,
+    mat: jnp.ndarray,
+    ebin: jnp.ndarray,
+    tables: DeviceTables,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sample the Rayleigh (coherent) scattering angle, returns cos_theta.
+
+    RITA rational inverse-transform sampling of the squared molecular form
+    factor with Thomson (1+cos^2)/2 angular rejection; energies with
+    negligible momentum transfer use pure Thomson sampling.
+    """
+    n = energy.shape[0]
+    n_mats = tables.n_mats
+
+    xmax = energy * jnp.float32(RAYLEIGH_X_FACTOR)
+    base = mat * NP_RAYLEIGH
+    x_last = tables.rita_x[base + (NP_RAYLEIGH - 1)]
+    x2max = jnp.minimum(xmax * xmax, x_last)
+    # pmax for the next energy bin, as in the reference (kernel :336)
+    pmax = tables.rayleigh_pmax[(ebin + 1) * n_mats + mat]
+    small = xmax < 0.01
+
+    def trip(i, carry):
+        costh, accepted = carry
+        u1, u2, u3 = uniforms_open(jax.random.fold_in(key, i), 3, (n,))
+
+        # --- Thomson branch (xmax < 0.01) ---
+        costh_t = 1.0 - 2.0 * u1
+        accept_t = u2 <= (costh_t * costh_t + 1.0) * 0.5
+
+        # --- RITA branch ---
+        ru = u1 * pmax
+        itn = jnp.clip((ru * (NP_RAYLEIGH - 1)).astype(jnp.int32), 0, NP_RAYLEIGH - 2)
+        lo = tables.rita_itl[base + itn]  # 1-based
+        hi = tables.rita_itu[base + itn]
+
+        def search(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) >> 1
+            p_mid = tables.rita_p[base + mid - 1]
+            go_up = ru > p_mid
+            narrow = (hi - lo) > 1
+            lo = jnp.where(narrow & go_up, mid, lo)
+            hi = jnp.where(narrow & ~go_up, mid, hi)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, 7, search, (lo, hi))
+        idx = base + lo - 1  # 0-based index of the interval start
+        p_i = tables.rita_p[idx]
+        p_n = tables.rita_p[idx + 1]
+        x_i = tables.rita_x[idx]
+        x_n = tables.rita_x[idx + 1]
+        a_i = tables.rita_a[idx]
+        b_i = tables.rita_b[idx]
+        rr = ru - p_i
+        d = p_n - p_i
+        xx_interp = x_i + (a_i + 1.0 + b_i) * d * rr / (
+            d * d + (a_i * d + b_i * rr) * rr
+        ) * (x_n - x_i)
+        xx = jnp.where(rr > 1e-16, xx_interp, x_i)
+        costh_r = 1.0 - 2.0 * xx / jnp.maximum(x2max, 1e-30)
+        accept_r = (xx < x2max) & (u3 <= (costh_r * costh_r + 1.0) * 0.5)
+
+        costh_prop = jnp.where(small, costh_t, costh_r)
+        accept_now = jnp.where(small, accept_t, accept_r) & ~accepted
+        take = accept_now | (~accepted & (i == RAYLEIGH_TRIPS - 1))
+        costh = jnp.where(take, jnp.clip(costh_prop, -1.0, 1.0), costh)
+        return costh, accepted | accept_now
+
+    carry = (jnp.ones((n,), jnp.float32), ~mask)
+    costh, _ = jax.lax.fori_loop(0, RAYLEIGH_TRIPS, trip, carry)
+    return jnp.where(mask, costh, 1.0)
+
+
+def rotate_direction(
+    dx: jnp.ndarray,
+    dy: jnp.ndarray,
+    dz: jnp.ndarray,
+    costh: jnp.ndarray,
+    phi: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Rotate unit vectors by polar angle acos(costh) and azimuth phi in the
+    vector's self-frame (PENELOPE's DIRECT; reference kernel :1103-1148).
+    Renormalises the input when needed."""
+    dxy = dx * dx + dy * dy
+    norm2 = dxy + dz * dz
+    need_norm = jnp.abs(norm2 - 1.0) > 1.0e-7
+    inv_norm = jnp.where(need_norm, jax.lax.rsqrt(jnp.maximum(norm2, 1e-30)), 1.0)
+    dx = dx * inv_norm
+    dy = dy * inv_norm
+    dz = dz * inv_norm
+    dxy = dx * dx + dy * dy
+
+    sinphi = jnp.sin(phi)
+    cosphi = jnp.cos(phi)
+    sin2 = jnp.maximum(1.0 - costh * costh, 0.0)
+
+    # generic branch (dxy > 0)
+    sdt = jnp.sqrt(sin2 / jnp.maximum(dxy, 1e-28))
+    nx = dx * costh + sdt * (dx * dz * cosphi - dy * sinphi)
+    ny = dy * costh + sdt * (dy * dz * cosphi + dx * sinphi)
+    nz = dz * costh - dxy * sdt * cosphi
+
+    # degenerate branch (dz ~ +-1)
+    sdt0 = jnp.sqrt(sin2)
+    sign = jnp.sign(dz)
+    mx = sign * sdt0 * cosphi
+    my = sdt0 * sinphi
+    mz = sign * costh
+
+    degenerate = dxy <= 1.0e-28
+    return (
+        jnp.where(degenerate, mx, nx),
+        jnp.where(degenerate, my, ny),
+        jnp.where(degenerate, mz, nz),
+    )
+
+
+class FanBeamSource(NamedTuple):
+    """Per-projection fan-beam source description (all f32 device scalars or
+    [n_proj]-arrays when batched)."""
+
+    position: jnp.ndarray  # [..., 3] focal spot [cm]
+    direction: jnp.ndarray  # [..., 3] unit beam direction
+    rot_fan: jnp.ndarray  # [..., 3, 3] rotation from +Y frame to direction
+    cos_theta_low: jnp.ndarray
+    d_cos_theta: jnp.ndarray
+    phi_low: jnp.ndarray
+    d_phi: jnp.ndarray
+    max_height_at_y1cm: jnp.ndarray
+
+
+def sample_source_direction(
+    key: jax.Array, source: FanBeamSource, n: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample fan-beam directions with the PENMAIN square-field rejection
+    (uniform in (cos theta, phi) within the aperture, rejected to a square
+    field: |w/v| <= tan(theta/2); reference kernel :649-667).
+
+    Returns (dx, dy, dz, accepted). Lanes with accepted=False hold the last
+    proposal and should not be used (the caller retries next iteration).
+    """
+
+    def trip(i, carry):
+        dx, dy, dz, accepted = carry
+        u1, u2 = uniforms_open(jax.random.fold_in(key, i), 2, (n,))
+        w = source.cos_theta_low + u1 * source.d_cos_theta
+        phi = source.phi_low + u2 * source.d_phi
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - w * w, 0.0))
+        x = sin_theta * jnp.cos(phi)
+        y = sin_theta * jnp.sin(phi)
+        ok = jnp.abs(w / (y + 1.0e-7)) <= source.max_height_at_y1cm
+        take = ok & ~accepted
+        dx = jnp.where(take, x, dx)
+        dy = jnp.where(take, y, dy)
+        dz = jnp.where(take, w, dz)
+        return dx, dy, dz, accepted | ok
+
+    zeros = jnp.zeros((n,), jnp.float32)
+    dx, dy, dz, accepted = jax.lax.fori_loop(
+        0, SOURCE_DIR_TRIPS, trip, (zeros, jnp.ones((n,), jnp.float32), zeros, jnp.zeros((n,), bool))
+    )
+
+    # rotate the +Y-frame sample into the beam direction
+    r = source.rot_fan
+    nx = r[0, 0] * dx + r[0, 1] * dy + r[0, 2] * dz
+    ny = r[1, 0] * dx + r[1, 1] * dy + r[1, 2] * dz
+    nz = r[2, 0] * dx + r[2, 1] * dy + r[2, 2] * dz
+    return nx, ny, nz, accepted
+
+
+def sample_spectrum_energy(
+    key: jax.Array, tables: DeviceTables, n: int
+) -> jnp.ndarray:
+    """Walker-alias sampling of the source spectrum with intra-bin linear
+    interpolation (reference kernel :628-644)."""
+    u1, u2 = uniforms_open(key, 2, (n,))
+    rn = u1 * tables.n_spectrum_bins
+    int_part = jnp.clip(rn.astype(jnp.int32), 0, tables.n_spectrum_bins - 1)
+    frac = rn - int_part.astype(jnp.float32)
+    bins = jnp.where(
+        frac < tables.spectrum_cutoff[int_part],
+        int_part,
+        tables.spectrum_alias[int_part],
+    )
+    e_lo = tables.spectrum_energies[bins]
+    e_hi = tables.spectrum_energies[bins + 1]
+    return e_lo + u2 * (e_hi - e_lo)

@@ -1,0 +1,148 @@
+"""Device-resident physics tables for the transport engine.
+
+Array layouts are chosen for cheap gathers on TPU:
+
+- per-(energy-bin, material) inverse-MFP interpolation coefficients are
+  flattened so one gather of a row yields everything needed at an
+  interaction site,
+- the Woodcock majorant (a, b) pair is carried per photon and re-gathered
+  only when the energy changes (Compton), so the hot virtual-event loop
+  does a single 2-float gather for the current material's total MFP.
+
+The interpolation algebra mirrors the reference engine's table construction
+(docker/mcgpu/MC-GPU_v1.3.cu:2287-2358) so cross sections agree to float32.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cbctmc_tpu.physics.materials import (
+    MaterialTableSet,
+    build_woodcock_coefficients,
+    linearize_inverse_mfp,
+)
+from cbctmc_tpu.physics.spectrum import Spectrum
+
+
+class DeviceTables(NamedTuple):
+    """Physics tables as device arrays (a JAX pytree of arrays + aux)."""
+
+    # energy grid
+    e0: jnp.ndarray  # scalar f32 [eV]
+    ide: jnp.ndarray  # scalar f32 [1/eV]
+
+    # inverse-MFP linear coefficients scaled by nominal density:
+    # inv_mfp(E) = a + E*b. Row layout: [n_bins * n_mats, :].
+    # total only (hot path):    [.., 2] = (aT, bT)
+    mfp_total_ab: jnp.ndarray
+    # compton+rayleigh (event path): [.., 4] = (aC, bC, aR, bR)
+    mfp_cr_ab: jnp.ndarray
+
+    # Rayleigh max cumulative F^2 probability [n_bins * n_mats]
+    rayleigh_pmax: jnp.ndarray
+
+    # RITA tables, flattened [n_mats * 128]
+    rita_x: jnp.ndarray
+    rita_p: jnp.ndarray
+    rita_a: jnp.ndarray
+    rita_b: jnp.ndarray
+    rita_itl: jnp.ndarray  # i32, 1-based
+    rita_itu: jnp.ndarray  # i32, 1-based
+
+    # Compton shells [n_mats, max_shells]; padded shells have ui=+inf
+    shell_f: jnp.ndarray
+    shell_ui: jnp.ndarray
+    shell_j0: jnp.ndarray
+
+    # spectrum sampling
+    spectrum_energies: jnp.ndarray  # [n_spec_bins + 1]
+    spectrum_cutoff: jnp.ndarray  # [n_spec_bins]
+    spectrum_alias: jnp.ndarray  # i32 [n_spec_bins]
+
+    @property
+    def n_mats(self) -> int:
+        return self.shell_f.shape[0]
+
+    @property
+    def max_shells(self) -> int:
+        return self.shell_f.shape[1]
+
+    @property
+    def n_spectrum_bins(self) -> int:
+        return self.spectrum_cutoff.shape[0]
+
+
+def build_device_tables(
+    table_set: MaterialTableSet, spectrum: Spectrum
+) -> DeviceTables:
+    n_mats = table_set.n_materials
+    densities = table_set.densities
+
+    def stack(attr):
+        return np.stack([getattr(m, attr) for m in table_set.materials])
+
+    a_tot, b_tot = linearize_inverse_mfp(
+        stack("mfp_total"), densities, table_set.e0, table_set.de
+    )
+    a_com, b_com = linearize_inverse_mfp(
+        stack("mfp_compton"), densities, table_set.e0, table_set.de
+    )
+    a_ray, b_ray = linearize_inverse_mfp(
+        stack("mfp_rayleigh"), densities, table_set.e0, table_set.de
+    )
+
+    # [n_mats, n_bins, c] -> [n_bins * n_mats, c] with row = bin * n_mats + mat
+    def flat(*cols):
+        return np.stack(cols, axis=-1).transpose(1, 0, 2).reshape(-1, len(cols))
+
+    mfp_total_ab = flat(a_tot, b_tot)
+    mfp_cr_ab = flat(a_com, b_com, a_ray, b_ray)
+    rayleigh_pmax = stack("rayleigh_pmax").T.reshape(-1)
+
+    max_shells = max(m.n_shells for m in table_set.materials)
+    shell_f = np.zeros((n_mats, max_shells), np.float32)
+    shell_ui = np.full((n_mats, max_shells), np.float32(np.inf))
+    shell_j0 = np.full((n_mats, max_shells), np.float32(1.0))
+    for i, m in enumerate(table_set.materials):
+        shell_f[i, : m.n_shells] = m.shell_f
+        shell_ui[i, : m.n_shells] = m.shell_ui
+        shell_j0[i, : m.n_shells] = m.shell_j0
+
+    return DeviceTables(
+        e0=jnp.float32(table_set.e0),
+        ide=jnp.float32(1.0 / table_set.de),
+        mfp_total_ab=jnp.asarray(mfp_total_ab),
+        mfp_cr_ab=jnp.asarray(mfp_cr_ab),
+        rayleigh_pmax=jnp.asarray(rayleigh_pmax),
+        rita_x=jnp.asarray(stack("rita_x").reshape(-1)),
+        rita_p=jnp.asarray(stack("rita_p").reshape(-1)),
+        rita_a=jnp.asarray(stack("rita_a").reshape(-1)),
+        rita_b=jnp.asarray(stack("rita_b").reshape(-1)),
+        rita_itl=jnp.asarray(stack("rita_itl").reshape(-1).astype(np.int32)),
+        rita_itu=jnp.asarray(stack("rita_itu").reshape(-1).astype(np.int32)),
+        shell_f=jnp.asarray(shell_f),
+        shell_ui=jnp.asarray(shell_ui),
+        shell_j0=jnp.asarray(shell_j0),
+        spectrum_energies=jnp.asarray(spectrum.energies),
+        spectrum_cutoff=jnp.asarray(spectrum.cutoff),
+        spectrum_alias=jnp.asarray(spectrum.alias.astype(np.int32)),
+    )
+
+
+class WoodcockTable(NamedTuple):
+    """Per-geometry Woodcock majorant MFP interpolation table:
+    mfp_wc(E) = a[bin] + E * b[bin]."""
+
+    a: jnp.ndarray  # [n_bins]
+    b: jnp.ndarray  # [n_bins]
+
+
+def build_woodcock_table(
+    table_set: MaterialTableSet, max_density: np.ndarray
+) -> WoodcockTable:
+    a, b = build_woodcock_coefficients(table_set, max_density)
+    return WoodcockTable(a=jnp.asarray(a), b=jnp.asarray(b))

@@ -1,0 +1,139 @@
+"""End-to-end physics tests of the transport engine on small scenes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbctmc_tpu.engine.ct import ScanGeometry, build_scan
+from cbctmc_tpu.engine.tables import build_device_tables, build_woodcock_table
+from cbctmc_tpu.engine.transport import EngineConfig, make_voxel_volume, run_projection
+from cbctmc_tpu.physics.materials import default_material_set
+from cbctmc_tpu.physics.spectrum import Spectrum
+
+N_PIX = 32
+CONFIG = EngineConfig(n_lanes=1 << 14, max_virtual_trips=8)
+
+
+@pytest.fixture(scope="module")
+def table_set():
+    return default_material_set()
+
+
+@pytest.fixture(scope="module")
+def mono60(table_set):
+    """(Nearly) monoenergetic 60 keV spectrum."""
+    return Spectrum(
+        name="mono60",
+        energies=np.array([59_995.0, 60_005.0], np.float32),
+        probabilities=np.array([1.0], np.float32),
+    )
+
+
+def _scene(table_set, with_water_slab: bool):
+    """20 cm air cube, optionally with a 5 cm water slab across the beam."""
+    shape = (40, 40, 40)  # 5 mm voxels -> 20 cm cube
+    air = table_set.material("air")
+    water = table_set.material("h2o")
+    mats = np.full(shape, air.number, np.uint8)
+    dens = np.full(shape, air.density, np.float32)
+    if with_water_slab:
+        mats[:, 15:25, :] = water.number  # y in [7.5, 12.5) cm
+        dens[:, 15:25, :] = water.density
+    return mats, dens
+
+
+def _simulate(table_set, spectrum, mats, dens, n_histories=300_000, theta=-1.0,
+              phi=(-1.0, -1.0), seed=0):
+    tables = build_device_tables(table_set, spectrum)
+    max_density = np.zeros(table_set.n_materials, np.float32)
+    np.maximum.at(max_density, mats.astype(int).reshape(-1) - 1, dens.reshape(-1))
+    woodcock = build_woodcock_table(table_set, max_density)
+    volume = make_voxel_volume(mats.astype(np.int32) - 1, dens, (0.5, 0.5, 0.5))
+
+    geom = ScanGeometry(
+        n_pixels_x=N_PIX, n_pixels_z=N_PIX,
+        detector_size_x=20.0, detector_size_z=20.0,
+        sdd=60.0, sad=40.0,
+        aperture_phi1=phi[0], aperture_phi2=phi[1], aperture_theta=theta,
+        source_position_0=(10.0, 10.0 - 40.0, 10.0),
+    )
+    source, detector = build_scan(geom, [270.0])
+    src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
+    det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
+
+    img = run_projection(
+        tables, woodcock, volume, src, det,
+        jnp.int32(n_histories), jax.random.PRNGKey(seed),
+        n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=CONFIG,
+    )
+    return np.asarray(img, np.float64)
+
+
+def test_beer_lambert_slab_transmission(table_set, mono60):
+    """Primary-channel transmission through 5 cm of water must follow
+    exp(-mu * t) with mu from the loaded total-attenuation tables."""
+    air_mats, air_dens = _scene(table_set, with_water_slab=False)
+    slab_mats, slab_dens = _scene(table_set, with_water_slab=True)
+
+    img_air = _simulate(table_set, mono60, air_mats, air_dens, seed=1)
+    img_slab = _simulate(table_set, mono60, slab_mats, slab_dens, seed=2)
+
+    c = N_PIX // 2
+    sl = slice(c - 2, c + 2)
+    primary_air = img_air[0, sl, sl].sum()
+    primary_slab = img_slab[0, sl, sl].sum()
+    assert primary_air > 0
+
+    water = table_set.materials[table_set.index_of("h2o")]
+    air = table_set.materials[table_set.index_of("air")]
+    b = int((60_000.0 - table_set.e0) / table_set.de)
+    mu_w = 1.0 / water.mfp_total[b]
+    mu_air = (1.0 / air.mfp_total[b]) * (air.density / 1.0)  # nominal rho
+    expected = np.exp(-(mu_w - mu_air) * 5.0)
+
+    ratio = primary_slab / primary_air
+    assert ratio == pytest.approx(expected, rel=0.08)
+
+    # scatter reaches the detector only in the slab run
+    assert img_slab[1].sum() > 0  # Compton
+    assert img_slab[2].sum() > 0  # Rayleigh
+    assert img_air[1:].sum() < 0.05 * img_air[0].sum()
+
+
+def test_air_flat_field(table_set, mono60):
+    """With the fan fitted to the detector, the air scan must light up every
+    pixel and deposit most of the emitted energy (air transmission over
+    ~30-50 cm is > 95% at 60 keV)."""
+    mats, dens = _scene(table_set, with_water_slab=False)
+    img = _simulate(table_set, mono60, mats, dens, n_histories=400_000, seed=3)
+
+    total = img.sum()
+    emitted = 400_000 * 60_000.0
+    assert total / emitted > 0.90
+    assert (img.sum(axis=0) > 0).all()
+
+    # left-right symmetry of the flat field (statistical)
+    profile = img[0].sum(axis=0)
+    asym = abs(profile[: N_PIX // 2].sum() - profile[N_PIX // 2 :].sum()) / profile.sum()
+    assert asym < 0.02
+
+
+def test_pencil_beam_hits_detector_center(table_set, mono60):
+    """A (near) pencil beam along +y must tally into the central pixels."""
+    mats, dens = _scene(table_set, with_water_slab=False)
+    img = _simulate(
+        table_set, mono60, mats, dens,
+        n_histories=20_000, theta=0.02, phi=(0.01, 0.01), seed=4,
+    )
+    total = img.sum()
+    c = N_PIX // 2
+    center = img[0, c - 1 : c + 1, c - 1 : c + 1].sum()
+    assert center / total > 0.98
+
+
+def test_energy_conservation_bound(table_set, mono60):
+    """Detected energy can never exceed emitted energy."""
+    mats, dens = _scene(table_set, with_water_slab=True)
+    img = _simulate(table_set, mono60, mats, dens, n_histories=100_000, seed=5)
+    assert img.sum() <= 100_000 * 60_005.0
