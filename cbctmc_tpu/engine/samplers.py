@@ -72,6 +72,7 @@ def compton_scatter(
     key: jax.Array,
     energy: jnp.ndarray,
     mat: jnp.ndarray,
+    ebin: jnp.ndarray,
     tables: DeviceTables,
     mask: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -81,7 +82,7 @@ def compton_scatter(
     sampled from the Klein-Nishina composition scheme and accepted against
     the ratio of incoherent scattering functions S(E,theta)/S(E,pi), then a
     target shell and Doppler-broadened projected momentum determine the
-    energy loss.
+    energy loss. S(E,pi) is read from the precomputed per-material table.
     """
     n = energy.shape[0]
     s_max = tables.max_shells
@@ -104,16 +105,21 @@ def compton_scatter(
     # contribution is masked out anyway)
     ui = jnp.where(open_shell, ui, 0.0)
 
-    # --- incoherent scattering function at theta = pi ------------------
-    pz0 = _shell_pzomc(energy[:, None], ui, j0, jnp.float32(2.0))
-    s0 = jnp.sum(f_open * _profile_cdf_complement_terms(pz0), axis=1)
+    # --- incoherent scattering function at theta = pi (tabulated) ------
+    s0 = tables.compton_s0[jnp.maximum(ebin, 0) * tables.n_mats + mat]
 
     # --- masked rejection sampling of tau ------------------------------
+    # all trip uniforms generated in one call; trips unrolled so the whole
+    # rejection loop fuses into a handful of kernels
     k_tau, k_shell, key = jax.random.split(key, 3)
+    u_tau = uniform_open(k_tau, (COMPTON_TAU_TRIPS, 3, n))
 
-    def tau_trip(i, carry):
-        tau, cdt1, s, rn, accepted = carry
-        u1, u2, u3 = uniforms_open(jax.random.fold_in(k_tau, i), 3, (n,))
+    tau0 = jnp.ones((n,), jnp.float32)
+    tau, cdt1, s = tau0, tau0, jnp.ones((n,), jnp.float32)
+    rn = jnp.zeros((n, s_max))
+    accepted = ~mask
+    for i in range(COMPTON_TAU_TRIPS):
+        u1, u2, u3 = u_tau[i, 0], u_tau[i, 1], u_tau[i, 2]
         tau_prop = jnp.where(
             u1 * a2 < a1,
             jnp.power(taumin, u2),
@@ -137,11 +143,7 @@ def compton_scatter(
         cdt1 = jnp.where(take, cdt1_prop, cdt1)
         s = jnp.where(take, s_prop, s)
         rn = jnp.where(take[:, None], rn_prop, rn)
-        return tau, cdt1, s, rn, accepted | accept_now
-
-    tau0 = jnp.ones((n,), jnp.float32)
-    carry = (tau0, tau0, jnp.ones((n,), jnp.float32), jnp.zeros((n, s_max)), ~mask)
-    tau, cdt1, s, rn, _ = jax.lax.fori_loop(0, COMPTON_TAU_TRIPS, tau_trip, carry)
+        accepted = accepted | accept_now
     costh = 1.0 - cdt1
 
     # --- target shell + Doppler-broadened momentum ---------------------
@@ -149,9 +151,10 @@ def compton_scatter(
     cum = jnp.cumsum(rn_weighted, axis=1)
     last_open = jnp.maximum(jnp.sum(open_shell.astype(jnp.int32), axis=1) - 1, 0)
 
-    def shell_trip(i, carry):
+    u_shell = uniform_open(k_shell, (COMPTON_SHELL_TRIPS, 3, n))
+
+    def shell_trip(i, carry, u1, u2, u3):
         pzomc, ishell, accepted = carry
-        u1, u2, u3 = uniforms_open(jax.random.fold_in(k_shell, i), 3, (n,))
         target = (s * u1)[:, None]
         # first open shell whose cumulative f*rn exceeds target; default last
         hit = (cum > target) & open_shell
@@ -185,7 +188,9 @@ def compton_scatter(
         return pzomc, ishell, accepted | accept_now
 
     carry = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.int32), ~mask)
-    pzomc, _, _ = jax.lax.fori_loop(0, COMPTON_SHELL_TRIPS, shell_trip, carry)
+    for i in range(COMPTON_SHELL_TRIPS):
+        carry = shell_trip(i, carry, u_shell[i, 0], u_shell[i, 1], u_shell[i, 2])
+    pzomc, _, _ = carry
 
     # --- scattered photon energy ---------------------------------------
     t = pzomc * pzomc
@@ -226,9 +231,10 @@ def rayleigh_scatter(
     pmax = tables.rayleigh_pmax[(ebin + 1) * n_mats + mat]
     small = xmax < 0.01
 
-    def trip(i, carry):
+    u_ray = uniform_open(key, (RAYLEIGH_TRIPS, 3, n))
+
+    def trip(i, carry, u1, u2, u3):
         costh, accepted = carry
-        u1, u2, u3 = uniforms_open(jax.random.fold_in(key, i), 3, (n,))
 
         # --- Thomson branch (xmax < 0.01) ---
         costh_t = 1.0 - 2.0 * u1
@@ -240,17 +246,13 @@ def rayleigh_scatter(
         lo = tables.rita_itl[base + itn]  # 1-based
         hi = tables.rita_itu[base + itn]
 
-        def search(_, lohi):
-            lo, hi = lohi
+        for _ in range(7):  # unrolled binary search (2^7 = NP_RAYLEIGH)
             mid = (lo + hi) >> 1
             p_mid = tables.rita_p[base + mid - 1]
             go_up = ru > p_mid
             narrow = (hi - lo) > 1
             lo = jnp.where(narrow & go_up, mid, lo)
             hi = jnp.where(narrow & ~go_up, mid, hi)
-            return lo, hi
-
-        lo, hi = jax.lax.fori_loop(0, 7, search, (lo, hi))
         idx = base + lo - 1  # 0-based index of the interval start
         p_i = tables.rita_p[idx]
         p_n = tables.rita_p[idx + 1]
@@ -274,7 +276,9 @@ def rayleigh_scatter(
         return costh, accepted | accept_now
 
     carry = (jnp.ones((n,), jnp.float32), ~mask)
-    costh, _ = jax.lax.fori_loop(0, RAYLEIGH_TRIPS, trip, carry)
+    for i in range(RAYLEIGH_TRIPS):
+        carry = trip(i, carry, u_ray[i, 0], u_ray[i, 1], u_ray[i, 2])
+    costh, _ = carry
     return jnp.where(mask, costh, 1.0)
 
 
@@ -347,9 +351,10 @@ def sample_source_direction(
     proposal and should not be used (the caller retries next iteration).
     """
 
-    def trip(i, carry):
+    u_src = uniform_open(key, (SOURCE_DIR_TRIPS, 2, n))
+
+    def trip(i, carry, u1, u2):
         dx, dy, dz, accepted = carry
-        u1, u2 = uniforms_open(jax.random.fold_in(key, i), 2, (n,))
         w = source.cos_theta_low + u1 * source.d_cos_theta
         phi = source.phi_low + u2 * source.d_phi
         sin_theta = jnp.sqrt(jnp.maximum(1.0 - w * w, 0.0))
@@ -363,9 +368,10 @@ def sample_source_direction(
         return dx, dy, dz, accepted | ok
 
     zeros = jnp.zeros((n,), jnp.float32)
-    dx, dy, dz, accepted = jax.lax.fori_loop(
-        0, SOURCE_DIR_TRIPS, trip, (zeros, jnp.ones((n,), jnp.float32), zeros, jnp.zeros((n,), bool))
-    )
+    carry = (zeros, jnp.ones((n,), jnp.float32), zeros, jnp.zeros((n,), bool))
+    for i in range(SOURCE_DIR_TRIPS):
+        carry = trip(i, carry, u_src[i, 0], u_src[i, 1])
+    dx, dy, dz, accepted = carry
 
     # rotate the +Y-frame sample into the beam direction
     r = source.rot_fan

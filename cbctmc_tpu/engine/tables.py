@@ -58,6 +58,11 @@ class DeviceTables(NamedTuple):
     shell_ui: jnp.ndarray
     shell_j0: jnp.ndarray
 
+    # incoherent scattering function at theta=pi, tabulated on the energy
+    # grid [n_bins * n_mats] (the rejection-envelope normalisation of the
+    # Compton sampler; tabulated to avoid a full shell pass per photon)
+    compton_s0: jnp.ndarray
+
     # spectrum sampling
     spectrum_energies: jnp.ndarray  # [n_spec_bins + 1]
     spectrum_cutoff: jnp.ndarray  # [n_spec_bins]
@@ -112,6 +117,10 @@ def build_device_tables(
         shell_ui[i, : m.n_shells] = m.shell_ui
         shell_j0[i, : m.n_shells] = m.shell_j0
 
+    compton_s0 = _tabulate_compton_s0(
+        shell_f, shell_ui, shell_j0, table_set.e0, table_set.de, table_set.n_bins
+    )
+
     return DeviceTables(
         e0=jnp.float32(table_set.e0),
         ide=jnp.float32(1.0 / table_set.de),
@@ -127,10 +136,38 @@ def build_device_tables(
         shell_f=jnp.asarray(shell_f),
         shell_ui=jnp.asarray(shell_ui),
         shell_j0=jnp.asarray(shell_j0),
+        compton_s0=jnp.asarray(compton_s0),
         spectrum_energies=jnp.asarray(spectrum.energies),
         spectrum_cutoff=jnp.asarray(spectrum.cutoff),
         spectrum_alias=jnp.asarray(spectrum.alias.astype(np.int32)),
     )
+
+
+def _tabulate_compton_s0(
+    shell_f: np.ndarray,
+    shell_ui: np.ndarray,
+    shell_j0: np.ndarray,
+    e0: float,
+    de: float,
+    n_bins: int,
+) -> np.ndarray:
+    """Tabulate S(E, theta=pi) = sum_i f_i n_i(pz_max,i) on the energy grid
+    for every material; row layout [n_bins * n_mats] (bin-major)."""
+    mec2 = 510998.918
+    energies = (e0 + de * np.arange(n_bins, dtype=np.float64))[:, None, None]
+    f = shell_f[None].astype(np.float64)
+    ui = shell_ui[None].astype(np.float64)
+    j0 = shell_j0[None].astype(np.float64)
+
+    open_shell = ui < energies
+    ui = np.where(open_shell, ui, 0.0)
+    aux = energies * (energies - ui) * 2.0
+    pz = j0 * (aux - ui * mec2) / (np.sqrt(aux + aux + ui * ui) * mec2)
+    t = (1.0 / np.sqrt(2.0) + np.abs(pz) * np.sqrt(2.0)) ** 2
+    n_pz = 0.5 * np.exp(np.minimum(0.5 - t, 0.0))
+    n_pz = np.where(pz > 0, 1.0 - n_pz, n_pz)
+    s0 = np.sum(np.where(open_shell, f * n_pz, 0.0), axis=-1)  # [n_bins, n_mats]
+    return s0.reshape(-1).astype(np.float32)
 
 
 class WoodcockTable(NamedTuple):

@@ -170,11 +170,20 @@ class EngineConfig:
     n_lanes: int = 1 << 20  # photon lanes per device
     max_virtual_trips: int = 8  # inner Woodcock flights per outer iteration
     max_outer_iterations: int = 1 << 30  # safety cap
+    # Compton/Rayleigh events are compacted into a batch of
+    # n_lanes * event_fraction lanes per outer iteration; events beyond the
+    # budget simply stay pending (the photon waits at its interaction site),
+    # which keeps the expensive shell/RITA sampling off the full lane width.
+    event_fraction: float = 0.125
+
+    @property
+    def event_lanes(self) -> int:
+        return max(1024, int(self.n_lanes * self.event_fraction))
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_pixels_x", "n_pixels_z", "config"),
+    static_argnames=("n_pixels_x", "n_pixels_z", "config", "return_stats"),
 )
 def run_projection(
     tables: DeviceTables,
@@ -187,6 +196,7 @@ def run_projection(
     n_pixels_x: int,
     n_pixels_z: int,
     config: EngineConfig = EngineConfig(),
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Simulate one projection; returns the detector image
     f32[4, n_pixels_z, n_pixels_x] with per-pixel deposited energy [eV] for
@@ -269,10 +279,11 @@ def run_projection(
         remaining = s["remaining"] - n_started
 
         # ---------------- 2. Woodcock virtual-event flights --------------
-        def flight(i, fs):
+        u_flight = uniform_open(k_step, (config.max_virtual_trips, 2, n))
+
+        def flight(i, fs, u_step, u_int):
             px, py, pz, pending, escaped, vox, randno, prob_delta, mfp_density = fs
             active = alive & ~pending & ~escaped
-            u_step, u_int = uniforms_open(jax.random.fold_in(k_step, i), 2, (n,))
             step = -mfp_wc * jnp.log(u_step)
             npx_ = jnp.where(active, px + step * dx, px)
             npy_ = jnp.where(active, py + step * dy, py)
@@ -299,16 +310,11 @@ def run_projection(
                 jnp.where(real, mfp_den, mfp_density),
             )
 
-        escaped0 = jnp.zeros((n,), bool)
-        px, py, pz, pending, escaped, vox, randno, prob_delta, mfp_density = (
-            jax.lax.fori_loop(
-                0,
-                config.max_virtual_trips,
-                flight,
-                (px, py, pz, pending, escaped0, s["vox"], s["randno"],
-                 s["prob_delta"], s["mfp_density"]),
-            )
-        )
+        fs = (px, py, pz, pending, jnp.zeros((n,), bool), s["vox"], s["randno"],
+              s["prob_delta"], s["mfp_density"])
+        for i in range(config.max_virtual_trips):
+            fs = flight(i, fs, u_flight[i, 0], u_flight[i, 1])
+        px, py, pz, pending, escaped, vox, randno, prob_delta, mfp_density = fs
 
         # ---------------- 3. tally escaped lanes -------------------------
         pix, hit = _tally_pixel(
@@ -322,44 +328,65 @@ def run_projection(
         alive = alive & ~escaped
 
         # ---------------- 4. real interactions ---------------------------
-        do_real = alive & pending
+        pending = pending & alive
         mat = volume.material[vox]
         row = tables.mfp_cr_ab[jnp.maximum(ebin, 0) * n_mats + mat]
         p_compton = prob_delta + mfp_density * (row[:, 0] + energy * row[:, 1])
         p_rayleigh = p_compton + mfp_density * (row[:, 2] + energy * row[:, 3])
-        is_compton = do_real & (randno < p_compton)
-        is_rayleigh = do_real & ~is_compton & (randno < p_rayleigh)
-        is_photo = do_real & ~is_compton & ~is_rayleigh
+        want_compton = pending & (randno < p_compton)
+        want_rayleigh = pending & ~want_compton & (randno < p_rayleigh)
+        is_photo = pending & ~want_compton & ~want_rayleigh
 
-        new_e, costh_c = samplers.compton_scatter(
-            k_comp, energy, mat, tables, is_compton
+        # throttle the expensive samplers to a compact event batch; lanes
+        # over budget keep waiting at their interaction site (stay pending)
+        c = config.event_lanes
+
+        def compact(mask):
+            order = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            take = mask & (order < c)
+            (idx,) = jnp.nonzero(take, size=c, fill_value=n)
+            return take, idx
+
+        take_c, idx_c = compact(want_compton)
+        take_r, idx_r = compact(want_rayleigh)
+        valid_c = idx_c < n
+        valid_r = idx_r < n
+
+        # compacted Compton (indices == n clamp on gather; dropped on scatter)
+        new_e_c, costh_c = samplers.compton_scatter(
+            k_comp, energy[idx_c], mat[idx_c], ebin[idx_c], tables, valid_c
         )
+        # compacted Rayleigh
         costh_r = samplers.rayleigh_scatter(
-            k_ray, energy, mat, ebin, tables, is_rayleigh
+            k_ray, energy[idx_r], mat[idx_r], ebin[idx_r], tables, valid_r
         )
-        costh = jnp.where(is_compton, costh_c, costh_r)
+
+        energy = energy.at[idx_c].set(
+            jnp.where(valid_c, new_e_c, 0.0), mode="drop"
+        )
+        costh = jnp.ones((n,), jnp.float32)
+        costh = costh.at[idx_c].set(jnp.where(valid_c, costh_c, 1.0), mode="drop")
+        costh = costh.at[idx_r].set(jnp.where(valid_r, costh_r, 1.0), mode="drop")
+
         phi = uniform_open(k_phi, (n,)) * TWO_PI
         rdx, rdy, rdz = samplers.rotate_direction(dx, dy, dz, costh, phi)
-        rotate = is_compton | is_rayleigh
+        rotate = take_c | take_r
         dx = jnp.where(rotate, rdx, dx)
         dy = jnp.where(rotate, rdy, dy)
         dz = jnp.where(rotate, rdz, dz)
 
-        energy = jnp.where(is_compton, new_e, energy)
         new_ebin = ebin_of(energy)
-        absorbed = is_photo | (is_compton & (new_ebin < 0))
+        absorbed = is_photo | (take_c & (new_ebin < 0))
         alive = alive & ~absorbed
 
-        ebin = jnp.where(is_compton, new_ebin, ebin)
-        mfp_wc = jnp.where(is_compton & alive, woodcock_mfp(ebin, energy), mfp_wc)
+        ebin = jnp.where(take_c, new_ebin, ebin)
+        mfp_wc = jnp.where(take_c & alive, woodcock_mfp(ebin, energy), mfp_wc)
         scatter = jnp.where(
-            is_compton,
+            take_c,
             jnp.where(scatter == 0, COMPTON, MULTI),
-            jnp.where(
-                is_rayleigh, jnp.where(scatter == 0, RAYLEIGH, MULTI), scatter
-            ),
+            jnp.where(take_r, jnp.where(scatter == 0, RAYLEIGH, MULTI), scatter),
         )
-        pending = pending & ~do_real
+        pending = pending & ~(take_c | take_r | is_photo)
 
         return dict(
             px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
@@ -370,4 +397,7 @@ def run_projection(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return final["image"].reshape(4, n_pixels_z, n_pixels_x)
+    image = final["image"].reshape(4, n_pixels_z, n_pixels_x)
+    if return_stats:
+        return image, {"iterations": final["it"], "remaining": final["remaining"]}
+    return image

@@ -48,8 +48,9 @@ def test_compton_matches_scalar_reference(table_set, tables, energy_kev):
     n = 40_000
     e = jnp.full((n,), energy, jnp.float32)
     m = jnp.full((n,), mat_idx, jnp.int32)
+    ebin = jnp.full((n,), int((energy - table_set.e0) / table_set.de), jnp.int32)
     new_e, costh = samplers.compton_scatter(
-        jax.random.PRNGKey(0), e, m, tables, jnp.ones((n,), bool)
+        jax.random.PRNGKey(0), e, m, ebin, tables, jnp.ones((n,), bool)
     )
     new_e = np.asarray(new_e)
     costh = np.asarray(costh)

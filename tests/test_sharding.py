@@ -1,0 +1,119 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbctmc_tpu.engine.ct import ScanGeometry, build_scan
+from cbctmc_tpu.engine.tables import build_device_tables, build_woodcock_table
+from cbctmc_tpu.engine.transport import EngineConfig, make_voxel_volume, run_projection
+from cbctmc_tpu.parallel.sharded import (
+    make_mesh,
+    run_projection_sharded,
+    run_scan_sharded,
+    split_histories,
+)
+from cbctmc_tpu.physics.materials import default_material_set
+from cbctmc_tpu.physics.spectrum import Spectrum
+
+N_PIX = 16
+CONFIG = EngineConfig(n_lanes=1 << 10, max_virtual_trips=4)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    table_set = default_material_set()
+    spectrum = Spectrum(
+        "mono60",
+        np.array([59_995.0, 60_005.0], np.float32),
+        np.array([1.0], np.float32),
+    )
+    tables = build_device_tables(table_set, spectrum)
+    air = table_set.material("air")
+    water = table_set.material("h2o")
+    mats = np.full((16, 16, 16), air.number, np.uint8)
+    dens = np.full((16, 16, 16), air.density, np.float32)
+    mats[:, 6:10, :] = water.number
+    dens[:, 6:10, :] = water.density
+    max_density = np.zeros(table_set.n_materials, np.float32)
+    np.maximum.at(max_density, mats.astype(int).reshape(-1) - 1, dens.reshape(-1))
+    woodcock = build_woodcock_table(table_set, max_density)
+    volume = make_voxel_volume(mats.astype(np.int32) - 1, dens, (1.25, 1.25, 1.25))
+    geom = ScanGeometry(
+        n_pixels_x=N_PIX, n_pixels_z=N_PIX,
+        detector_size_x=20.0, detector_size_z=20.0,
+        sdd=60.0, sad=40.0,
+        aperture_phi1=-1.0, aperture_phi2=-1.0, aperture_theta=-1.0,
+        source_position_0=(10.0, -30.0, 10.0),
+    )
+    return tables, woodcock, volume, geom
+
+
+def test_split_histories():
+    assert split_histories(10, 4).tolist() == [3, 3, 2, 2]
+    assert split_histories(8, 4).tolist() == [2, 2, 2, 2]
+    assert split_histories(10, 4).sum() == 10
+
+
+def test_sharded_projection_matches_single_device_statistics(scene):
+    tables, woodcock, volume, geom = scene
+    source, detector = build_scan(geom, [270.0])
+    src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
+    det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
+
+    n_hist = 40_000
+    mesh = make_mesh(n_proj_shards=1)
+    assert mesh.shape["photons"] == 8
+
+    img_sharded = np.asarray(
+        run_projection_sharded(
+            mesh, tables, woodcock, volume, src, det,
+            n_hist, jax.random.PRNGKey(7),
+            n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=CONFIG,
+        ),
+        np.float64,
+    )
+    img_single = np.asarray(
+        run_projection(
+            tables, woodcock, volume, src, det,
+            jnp.int32(n_hist), jax.random.PRNGKey(8),
+            n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=CONFIG,
+        ),
+        np.float64,
+    )
+
+    # same number of histories: totals agree statistically, never exceed
+    # the emitted energy
+    assert img_sharded.sum() <= n_hist * 60_005.0
+    assert img_sharded.sum() == pytest.approx(img_single.sum(), rel=0.02)
+    # per-pixel primary field agrees within counting noise
+    mask = img_single[0] > 0
+    rel = np.abs(img_sharded[0][mask] - img_single[0][mask]) / img_single[0][mask]
+    assert np.median(rel) < 0.2
+
+
+def test_scan_sharded_2d_mesh(scene):
+    tables, woodcock, volume, geom = scene
+    angles = [270.0, 0.0, 90.0, 180.0]
+    source, detector = build_scan(geom, angles)
+    source = jax.tree.map(jnp.asarray, source)
+    detector = jax.tree.map(jnp.asarray, detector)
+
+    mesh = make_mesh(n_proj_shards=2)
+    assert mesh.shape == {"proj": 2, "photons": 4}
+
+    images = run_scan_sharded(
+        mesh, tables, woodcock, volume, source, detector,
+        n_projections=4, n_histories_per_projection=5_000,
+        key=jax.random.PRNGKey(9),
+        n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=CONFIG,
+    )
+    images = np.asarray(images, np.float64)
+    assert images.shape == (4, 4, N_PIX, N_PIX)
+    assert np.isfinite(images).all()
+    # every projection sees the beam
+    assert (images.sum(axis=(1, 2, 3)) > 0).all()
+    # opposing views of the symmetric slab have similar totals
+    t = images.sum(axis=(1, 2, 3))
+    assert t[0] == pytest.approx(t[2], rel=0.1)

@@ -76,8 +76,12 @@ def test_beer_lambert_slab_transmission(table_set, mono60):
     air_mats, air_dens = _scene(table_set, with_water_slab=False)
     slab_mats, slab_dens = _scene(table_set, with_water_slab=True)
 
-    img_air = _simulate(table_set, mono60, air_mats, air_dens, seed=1)
-    img_slab = _simulate(table_set, mono60, slab_mats, slab_dens, seed=2)
+    img_air = _simulate(
+        table_set, mono60, air_mats, air_dens, n_histories=800_000, seed=1
+    )
+    img_slab = _simulate(
+        table_set, mono60, slab_mats, slab_dens, n_histories=800_000, seed=2
+    )
 
     c = N_PIX // 2
     sl = slice(c - 2, c + 2)
