@@ -1,0 +1,110 @@
+"""Benchmark entry point (driver contract): prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures the MC engine's photon throughput on the primary workload shape:
+the CatPhan604 phantom with the Varian half-fan scan geometry (the
+reference's headline configuration; BASELINE.md). The baseline constant is
+an estimate of MC-GPU v1.3 on an RTX A6000 for comparable CT scenes —
+MC-GPU publishes ~1e7 histories/s on 2009-era hardware (Badal & Badano
+2009); scaling to an A6000 gives O(5e8) histories/s, which is recorded
+here as the reference point until a measured number is available.
+
+Usage: python bench.py [--smoke]   (--smoke: tiny scene, quick check)
+"""
+
+import json
+import sys
+import time
+
+BASELINE_HISTORIES_PER_S = 5.0e8
+
+
+def main():
+    smoke = "--smoke" in sys.argv
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from cbctmc_tpu.engine.ct import ScanGeometry, build_scan
+    from cbctmc_tpu.engine.tables import build_device_tables, build_woodcock_table
+    from cbctmc_tpu.engine.transport import (
+        EngineConfig,
+        make_voxel_volume,
+        run_projection,
+    )
+    from cbctmc_tpu.geometry.phantoms import CatPhan604Geometry
+    from cbctmc_tpu.physics.materials import default_material_set
+    from cbctmc_tpu.physics.spectrum import default_spectrum
+
+    table_set = default_material_set()
+    tables = build_device_tables(table_set, default_spectrum())
+
+    if smoke:
+        shape, spacing_mm = (64, 64, 64), 4.0
+        n_pix = (116, 48)
+        n_lanes, chunk, n_chunks = 1 << 14, 200_000, 2
+    else:
+        shape, spacing_mm = (256, 256, 256), 2.0
+        n_pix = (924, 384)
+        n_lanes, chunk, n_chunks = 1 << 17, 4_000_000, 5
+
+    phantom = CatPhan604Geometry(shape=shape, image_spacing=(spacing_mm,) * 3)
+    mats = np.ascontiguousarray(
+        np.rot90(phantom.materials, k=3, axes=(0, 1))
+    ).astype(np.int32) - 1
+    dens = np.ascontiguousarray(np.rot90(phantom.densities, k=3, axes=(0, 1)))
+    max_density = np.zeros(table_set.n_materials, np.float32)
+    np.maximum.at(max_density, mats.reshape(-1), dens.reshape(-1))
+    woodcock = build_woodcock_table(table_set, max_density)
+    volume = make_voxel_volume(mats, dens, (spacing_mm / 10.0,) * 3)
+
+    half = shape[0] * spacing_mm / 2 / 10.0
+    geom = ScanGeometry(
+        n_pixels_x=n_pix[0], n_pixels_z=n_pix[1],
+        detector_size_x=71.7024, detector_size_z=29.7984,
+        sdd=150.0, sad=100.0,
+        aperture_phi1=1.481720423651376, aperture_phi2=13.441979314886868,
+        aperture_theta=-1.0,
+        source_position_0=(half, half - 100.0, half),
+    )
+    source, detector = build_scan(geom, [270.0])
+    src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
+    det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
+    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=16)
+
+    def run(n, seed):
+        img = run_projection(
+            tables, woodcock, volume, src, det,
+            jnp.int32(n), jax.random.PRNGKey(seed),
+            n_pixels_x=n_pix[0], n_pixels_z=n_pix[1], config=config,
+        )
+        jax.block_until_ready(img)
+        return img
+
+    run(min(chunk, 500_000), 0)  # compile + warmup
+
+    t0 = time.monotonic()
+    total = 0
+    for i in range(n_chunks):
+        run(chunk, i + 1)
+        total += chunk
+    dt = time.monotonic() - t0
+    value = total / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "photon_histories_per_second_per_chip",
+                "value": value,
+                "unit": "histories/s",
+                "vs_baseline": value / BASELINE_HISTORIES_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,10 +35,10 @@ _SQRT_HALF = 0.70710678118654502
 _SQRT_TWO = 1.4142135623731
 
 # fixed trip counts for the masked rejection iterations
-SOURCE_DIR_TRIPS = 4
-COMPTON_TAU_TRIPS = 8
-COMPTON_SHELL_TRIPS = 8
-RAYLEIGH_TRIPS = 10
+SOURCE_DIR_TRIPS = 2
+COMPTON_TAU_TRIPS = 5
+COMPTON_SHELL_TRIPS = 5
+RAYLEIGH_TRIPS = 6
 
 
 def _profile_cdf_complement_terms(pzomc: jnp.ndarray) -> jnp.ndarray:

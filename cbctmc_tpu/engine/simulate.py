@@ -47,6 +47,12 @@ logger = logging.getLogger(__name__)
 
 MAX_CHUNK = 2_000_000_000  # int32-safe per-device history chunk
 
+# Each device call is kept short: some runtimes kill long-running programs
+# (and it bounds loss on preemption). A pilot chunk measures throughput and
+# later chunks are sized to the time target.
+PILOT_CHUNK = 2_000_000
+TARGET_SECONDS_PER_CALL = 25.0
+
 
 @dataclasses.dataclass
 class SimulationParameters:
@@ -203,6 +209,9 @@ class MCScanner:
         images = np.zeros((n_proj, 4, npz, npx), np.float64)
         key = jax.random.PRNGKey(seed)
 
+        # adaptive chunk size: measured on the pilot, then time-targeted
+        chunk_size = min(PILOT_CHUNK, n_histories)
+
         t0 = time.monotonic()
         for i in range(n_proj):
             src_i: FanBeamSource = jax.tree.map(lambda x: jnp.asarray(x[i]), source)
@@ -210,8 +219,9 @@ class MCScanner:
             done = 0
             chunk_idx = 0
             while done < n_histories:
-                chunk = min(MAX_CHUNK, n_histories - done)
+                chunk = min(chunk_size, MAX_CHUNK, n_histories - done)
                 k = jax.random.fold_in(jax.random.fold_in(key, i), chunk_idx)
+                t_chunk = time.monotonic()
                 img = run_projection(
                     self.tables,
                     self.woodcock,
@@ -227,6 +237,12 @@ class MCScanner:
                 images[i] += np.asarray(img, np.float64)
                 done += chunk
                 chunk_idx += 1
+                elapsed = time.monotonic() - t_chunk
+                if elapsed > 0.05:
+                    rate = chunk / elapsed
+                    chunk_size = int(
+                        max(PILOT_CHUNK, rate * TARGET_SECONDS_PER_CALL)
+                    )
             if progress:
                 logger.info(
                     "Simulating Projection %d of %d (angle %.3f deg)",

@@ -167,14 +167,15 @@ def _tally_pixel(px, py, pz, dx, dy, dz, detector: DetectorGeom, n_pixels_x: int
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
-    n_lanes: int = 1 << 20  # photon lanes per device
-    max_virtual_trips: int = 8  # inner Woodcock flights per outer iteration
+    # defaults from the TPU v5e parameter sweep (see bench.py)
+    n_lanes: int = 1 << 17  # photon lanes per device
+    max_virtual_trips: int = 16  # inner Woodcock flights per outer iteration
     max_outer_iterations: int = 1 << 30  # safety cap
     # Compton/Rayleigh events are compacted into a batch of
     # n_lanes * event_fraction lanes per outer iteration; events beyond the
     # budget simply stay pending (the photon waits at its interaction site),
     # which keeps the expensive shell/RITA sampling off the full lane width.
-    event_fraction: float = 0.125
+    event_fraction: float = 0.25
 
     @property
     def event_lanes(self) -> int:

@@ -25,13 +25,14 @@ def cylinder_mask(
     height: float,
 ) -> np.ndarray:
     """Axis-aligned (z) cylinder in voxel units: closed at the bottom, open
-    at the top slice (z in [c - h/2, c + h/2))."""
-    x, y, z = np.meshgrid(*(np.arange(s) for s in shape), indexing="ij")
-    return (
-        ((x - center[0]) ** 2 + (y - center[1]) ** 2 <= radius**2)
-        & (z >= center[2] - height / 2)
-        & (z < center[2] + height / 2)
-    )
+    at the top slice (z in [c - h/2, c + h/2)). Uses broadcast 1-D grids —
+    no 3-D coordinate arrays are materialised."""
+    x = (np.arange(shape[0], dtype=np.float32) - center[0]) ** 2
+    y = (np.arange(shape[1], dtype=np.float32) - center[1]) ** 2
+    z = np.arange(shape[2], dtype=np.float32)
+    disk = x[:, None] + y[None, :] <= radius**2  # [nx, ny]
+    zsel = (z >= center[2] - height / 2) & (z < center[2] + height / 2)
+    return disk[:, :, None] & zsel[None, None, :]
 
 
 @dataclasses.dataclass(frozen=True)

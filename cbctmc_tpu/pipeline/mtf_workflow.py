@@ -1,0 +1,126 @@
+"""MTF calibration workflow: simulate aluminium line-pair phantoms, FDK
+reconstruct and evaluate the modulation transfer function per line-pair
+spacing (reference: scripts/run_mc_line_pairs.py + evaluation/mtf.py)."""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from cbctmc_tpu.analysis.mtf import calculate_mtf, extract_line_pair_profile
+from cbctmc_tpu.engine.simulate import MCScanner, SimulationParameters, air_normalize, crop_half_fan
+from cbctmc_tpu.engine.transport import EngineConfig
+from cbctmc_tpu.geometry.phantoms import AirGeometry, LinePairPhantomGeometry
+from cbctmc_tpu.pipeline.reconstruction import engine_volume_to_mc_frame
+from cbctmc_tpu.recon.fdk import fdk_reconstruct
+from cbctmc_tpu.recon.geometry import ConeBeamGeometry, VolumeGrid
+
+logger = logging.getLogger(__name__)
+
+
+def simulate_line_pair(
+    line_gap_mm: float,
+    n_histories: int,
+    n_projections: int = 894,
+    phantom_shape: Tuple[int, int, int] = (500, 500, 500),
+    engine_config: EngineConfig | None = None,
+    recon_shape: Tuple[int, int, int] = (250, 250, 60),
+    seed: int = 0,
+) -> Tuple[np.ndarray, LinePairPhantomGeometry]:
+    """Simulate + reconstruct one line-pair phantom; returns (volume [mc
+    frame], phantom)."""
+    engine_config = engine_config or EngineConfig()
+    phantom = LinePairPhantomGeometry(line_gap=line_gap_mm, shape=phantom_shape)
+    params = SimulationParameters(
+        n_histories=n_histories,
+        n_projections=n_projections,
+        angle_between_projections=360.0 / n_projections,
+        random_seed=seed,
+    )
+    scanner = MCScanner(
+        phantom.materials, phantom.densities, phantom.image_spacing,
+        parameters=params, engine_config=engine_config,
+    )
+    images, _ = scanner.simulate(seed=seed, progress=False)
+
+    air = AirGeometry()
+    air_scanner = MCScanner(
+        air.materials, air.densities, air.image_spacing,
+        parameters=params, engine_config=engine_config,
+    )
+    air_images, _ = air_scanner.simulate(
+        angles_deg=[270.0], n_histories=min(int(5e10), n_histories * 4),
+        seed=seed + 1, progress=False,
+    )
+
+    total = crop_half_fan(images.sum(axis=1))
+    normalized = air_normalize(total, air_images[0].sum(axis=0))[:, ::-1, :]
+
+    p = params
+    geometry = ConeBeamGeometry(
+        sad=p.source_to_isocenter_distance, sdd=p.source_to_detector_distance,
+        n_pixels_u=normalized.shape[2], n_pixels_v=normalized.shape[1],
+        pixel_size_u=p.detector_size[0] / p.n_detector_pixels[0],
+        pixel_size_v=p.detector_size[1] / p.n_detector_pixels[1],
+        detector_offset_u=-159.856,
+    )
+    angles = scanner.projection_angles()
+    grid = VolumeGrid(shape=recon_shape, spacing=(1.0, 1.0, 1.0))
+    volume = fdk_reconstruct(normalized, geometry, angles, grid=grid)
+    return engine_volume_to_mc_frame(volume), phantom
+
+
+def evaluate_line_pair_volume(
+    volume: np.ndarray, phantom: LinePairPhantomGeometry, line_gap_mm: float
+) -> Dict[str, float]:
+    """Mean max/min across the line-pair profile around the volume centre."""
+    c = np.array(volume.shape) // 2
+    n_lp = phantom.n_lines
+    extent = int((2 * n_lp - 1) * line_gap_mm) // 2 + 4
+    bbox = (
+        slice(max(c[0] - extent, 0), c[0] + extent),
+        slice(c[1] - 5, c[1] + 5),
+        slice(c[2] - 5, c[2] + 5),
+    )
+    profile, maxs, mins = extract_line_pair_profile(volume, bbox)
+    return {
+        "maximum": float(np.mean(profile[maxs])) if len(maxs) else float("nan"),
+        "minimum": float(np.mean(profile[mins])) if len(mins) else float("nan"),
+    }
+
+
+def run_line_pair_simulations(
+    output_folder: Path,
+    line_gaps: Sequence[float] = (1.0, 2.0, 3.0, 4.0),
+    n_histories: int = int(1e9),
+    n_projections: int = 894,
+    engine_config: EngineConfig | None = None,
+) -> dict:
+    output_folder = Path(output_folder)
+    output_folder.mkdir(parents=True, exist_ok=True)
+
+    maxima, minima, spacings = [], [], []
+    for gap in line_gaps:
+        volume, phantom = simulate_line_pair(
+            gap, n_histories, n_projections, engine_config=engine_config
+        )
+        np.save(output_folder / f"recon_lp_{gap:.2f}mm.npy", volume)
+        stats = evaluate_line_pair_volume(volume, phantom, gap)
+        # line pair spacing in lp/mm: one pair spans 2*gap
+        spacings.append(1.0 / (2.0 * gap))
+        maxima.append(stats["maximum"])
+        minima.append(stats["minimum"])
+        logger.info("line gap %.2f mm: %s", gap, stats)
+
+    mtf = calculate_mtf(spacings, maxima, minima)
+    result = {
+        "line_gaps_mm": list(line_gaps),
+        "mtf": {f"{k:.4f}": v for k, v in mtf.items()},
+    }
+    with open(output_folder / "mtf.json", "w") as f:
+        json.dump(result, f, indent=2)
+    return result

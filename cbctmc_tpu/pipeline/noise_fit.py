@@ -1,0 +1,146 @@
+"""Noise calibration: fit n_histories so the reconstructed noise matches a
+measured Varian scan.
+
+Re-design of the reference's fit-noise workflow (scripts/fit_noise.py):
+simulate a water phantom at several history counts, reconstruct with FDK +
+water precorrection, compute the water-ROI standard deviation and fit
+std(n) = a / sqrt(n) + c; the calibrated count is n* = (a / std_ref)^2
+(reference: fit_noise.py:304-323 — this produced the production default of
+1.19e10 histories, cbctmc/defaults.py:52)."""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from cbctmc_tpu.engine.simulate import MCScanner, SimulationParameters, air_normalize
+from cbctmc_tpu.engine.transport import EngineConfig
+from cbctmc_tpu.geometry.phantoms import AirGeometry, WaterPhantomGeometry
+from cbctmc_tpu.physics.reference_values import (
+    DEFAULT_WPC_CATPHAN604,
+    REFERENCE_ROI_STATS_CATPHAN604_VARIAN,
+)
+from cbctmc_tpu.recon.fdk import fdk_reconstruct
+from cbctmc_tpu.recon.geometry import ConeBeamGeometry, VolumeGrid
+from cbctmc_tpu.pipeline.reconstruction import engine_volume_to_mc_frame
+
+logger = logging.getLogger(__name__)
+
+
+def simulate_and_reconstruct_water(
+    n_histories: int,
+    n_projections: int = 894,
+    phantom_shape: Tuple[int, int, int] = (500, 500, 150),
+    seed: int = 0,
+    engine_config: EngineConfig | None = None,
+    recon_shape: Tuple[int, int, int] = (250, 250, 60),
+) -> Dict[str, Dict[str, float]]:
+    """One noise-fit sample: simulate, FDK-reconstruct, ROI stats."""
+    engine_config = engine_config or EngineConfig()
+    phantom = WaterPhantomGeometry(shape=phantom_shape)
+
+    params = SimulationParameters(
+        n_histories=n_histories,
+        n_projections=n_projections,
+        angle_between_projections=360.0 / n_projections,
+        random_seed=seed,
+    )
+    scanner = MCScanner(
+        phantom.materials, phantom.densities, phantom.image_spacing,
+        parameters=params, engine_config=engine_config,
+    )
+    images, info = scanner.simulate(seed=seed, progress=False)
+    logger.info("noise-fit sample: %.3e hist/s", info.histories_per_second)
+
+    air = AirGeometry()
+    air_scanner = MCScanner(
+        air.materials, air.densities, air.image_spacing,
+        parameters=params, engine_config=engine_config,
+    )
+    air_images, _ = air_scanner.simulate(
+        angles_deg=[270.0], n_histories=min(int(5e10), n_histories * 4),
+        seed=seed + 1, progress=False,
+    )
+
+    from cbctmc_tpu.engine.simulate import crop_half_fan
+
+    total = crop_half_fan(images.sum(axis=1))
+    normalized = air_normalize(total, air_images[0].sum(axis=0))
+    # line integrals in 1/mm units for the recon scale
+    normalized = normalized[:, ::-1, :]  # undo row flip convention
+
+    p = params
+    geometry = ConeBeamGeometry(
+        sad=p.source_to_isocenter_distance, sdd=p.source_to_detector_distance,
+        n_pixels_u=normalized.shape[2], n_pixels_v=normalized.shape[1],
+        pixel_size_u=p.detector_size[0] / p.n_detector_pixels[0],
+        pixel_size_v=p.detector_size[1] / p.n_detector_pixels[1],
+        detector_offset_u=-159.856,
+    )
+    angles = scanner.projection_angles()
+    grid = VolumeGrid(shape=recon_shape, spacing=(1.0, 1.0, 1.0))
+    volume = fdk_reconstruct(
+        normalized, geometry, angles, grid=grid,
+        water_precorrection=DEFAULT_WPC_CATPHAN604,
+    )
+    volume = engine_volume_to_mc_frame(volume)
+    return WaterPhantomGeometry.calculate_roi_statistics(volume)
+
+
+def fit_noise_law(
+    n_histories: Sequence[int], stds: Sequence[float]
+) -> Tuple[float, float]:
+    """Least-squares fit of std = a / sqrt(n) + c; returns (a, c)."""
+    x = 1.0 / np.sqrt(np.asarray(n_histories, np.float64))
+    y = np.asarray(stds, np.float64)
+    design = np.stack([x, np.ones_like(x)], axis=1)
+    (a, c), *_ = np.linalg.lstsq(design, y, rcond=None)
+    return float(a), float(c)
+
+
+def run_noise_fit(
+    output_folder: Path,
+    n_histories_start: int = int(1e9),
+    n_runs: int = 10,
+    n_projections: int = 894,
+    phantom_shape: Tuple[int, int, int] = (500, 500, 150),
+    engine_config: EngineConfig | None = None,
+    target_std: float | None = None,
+) -> dict:
+    """Sweep history counts, fit the noise law, solve for the count matching
+    the Varian water noise."""
+    output_folder = Path(output_folder)
+    output_folder.mkdir(parents=True, exist_ok=True)
+    if target_std is None:
+        target_std = REFERENCE_ROI_STATS_CATPHAN604_VARIAN["water"]["std"]
+
+    counts = [int(n_histories_start * 2**i) for i in range(n_runs)]
+    stds = []
+    results = {}
+    for i, n in enumerate(counts):
+        stats = simulate_and_reconstruct_water(
+            n, n_projections=n_projections, phantom_shape=phantom_shape,
+            seed=1000 + i, engine_config=engine_config,
+        )
+        stds.append(stats["water"]["std"])
+        results[n] = stats
+        with open(output_folder / "roi_stats.json", "w") as f:
+            json.dump(results, f, indent=2)
+        logger.info("n=%.3e -> water std %.6e", n, stds[-1])
+
+    a, c = fit_noise_law(counts, stds)
+    best_n = int((a / max(target_std - c, 1e-9)) ** 2)
+    summary = {
+        "fit_a": a,
+        "fit_c": c,
+        "target_std": target_std,
+        "best_n_histories": best_n,
+        "samples": {str(n): s for n, s in zip(counts, stds)},
+    }
+    with open(output_folder / "noise_fit.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

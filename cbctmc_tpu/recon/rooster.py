@@ -1,0 +1,225 @@
+"""4D ROOSTER reconstruction: motion-binned iterative recon with spatial and
+temporal total-variation regularisation.
+
+Replaces the reference's Docker-shipped ``rtkfourdrooster`` app (invocation:
+cbctmc/reconstruction/reconstruction.py:72-125 with niter=10, cgiter=4,
+tviter=10, gamma_time=2e-4, gamma_space=7e-5). Algorithm after Mory et al.
+2014: alternate
+
+1. data-fidelity updates of each respiratory-phase volume against its
+   projections (here: Landweber/SART-style gradient steps with the
+   framework's cone-beam projector pair — chosen over CG because the
+   ray-marching forward projector and voxel-driven backprojector are not
+   exact adjoints),
+2. spatial TV denoising of every phase (Chambolle projection algorithm),
+3. temporal TV denoising along the phase axis (cyclic).
+
+Projections are soft-assigned to phase bins with linear interpolation
+weights from the per-projection phase signal in [0, 1), like RTK's
+interpolation matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cbctmc_tpu.recon.fdk import fdk_reconstruct
+from cbctmc_tpu.recon.geometry import ConeBeamGeometry, VolumeGrid
+from cbctmc_tpu.recon.joseph import project_forward, _project_one, _trilinear
+
+logger = logging.getLogger(__name__)
+
+
+def phase_interpolation_weights(
+    phase_signal: np.ndarray, n_phases: int
+) -> np.ndarray:
+    """Linear interpolation weights [n_projections, n_phases] for a cyclic
+    phase in [0, 1)."""
+    phase = np.asarray(phase_signal, np.float64) % 1.0
+    pos = phase * n_phases
+    lo = np.floor(pos).astype(int) % n_phases
+    hi = (lo + 1) % n_phases
+    frac = pos - np.floor(pos)
+    weights = np.zeros((len(phase), n_phases))
+    weights[np.arange(len(phase)), lo] = 1.0 - frac
+    weights[np.arange(len(phase)), hi] += frac
+    return weights
+
+
+def _spatial_tv_chambolle(volume: jnp.ndarray, weight: float, n_iter: int):
+    """Chambolle 2004 projection algorithm for 3D TV denoising."""
+
+    def grad(u):
+        gx = jnp.diff(u, axis=0, append=u[-1:])
+        gy = jnp.diff(u, axis=1, append=u[:, -1:])
+        gz = jnp.diff(u, axis=2, append=u[:, :, -1:])
+        return jnp.stack([gx, gy, gz])
+
+    def div(p):
+        px, py, pz = p[0], p[1], p[2]
+        dx = px - jnp.roll(px, 1, axis=0)
+        dx = dx.at[0].set(px[0]).at[-1].set(-px[-2])
+        dy = py - jnp.roll(py, 1, axis=1)
+        dy = dy.at[:, 0].set(py[:, 0]).at[:, -1].set(-py[:, -2])
+        dz = pz - jnp.roll(pz, 1, axis=2)
+        dz = dz.at[:, :, 0].set(pz[:, :, 0]).at[:, :, -1].set(-pz[:, :, -2])
+        return dx + dy + dz
+
+    tau = 0.25 / 2.0
+
+    def body(_, p):
+        g = grad(div(p) - volume / weight)
+        norm = jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True))
+        return (p + tau * g) / (1.0 + tau * norm)
+
+    p0 = jnp.zeros((3, *volume.shape), volume.dtype)
+    p = jax.lax.fori_loop(0, n_iter, body, p0)
+    return volume - weight * div(p)
+
+
+def _temporal_tv(volumes: jnp.ndarray, weight: float, n_iter: int):
+    """1-D TV denoising along the (cyclic) phase axis via fixed-point
+    iterations of the dual problem."""
+    tau = 0.25
+
+    def body(_, p):
+        div_p = p - jnp.roll(p, 1, axis=0)
+        g = jnp.roll(div_p - volumes / weight, -1, axis=0) - (
+            div_p - volumes / weight
+        )
+        p = (p + tau * g) / (1.0 + tau * jnp.abs(g))
+        return p
+
+    p0 = jnp.zeros_like(volumes)
+    p = jax.lax.fori_loop(0, n_iter, body, p0)
+    return volumes - weight * (p - jnp.roll(p, 1, axis=0))
+
+
+@dataclasses.dataclass(frozen=True)
+class RoosterParameters:
+    n_phases: int = 10
+    n_iterations: int = 10  # outer iterations (rtk "niter")
+    n_data_subiterations: int = 4  # rtk "cgiter"
+    n_tv_iterations: int = 10  # rtk "tviter"
+    gamma_space: float = 7e-5
+    gamma_time: float = 2e-4
+    data_step_size: float = 0.5
+
+
+def rooster_reconstruct(
+    projections: np.ndarray,  # [P, nv, nu] line integrals
+    geometry: ConeBeamGeometry,
+    angles_deg: Sequence[float],
+    phase_signal: np.ndarray,  # [P] in [0, 1)
+    grid: VolumeGrid | None = None,
+    parameters: RoosterParameters | None = None,
+    water_precorrection: Sequence[float] | None = None,
+) -> np.ndarray:
+    """Returns the 4D volume [n_phases, x, y, z]."""
+    grid = grid or VolumeGrid()
+    par = parameters or RoosterParameters()
+
+    projections = np.asarray(projections, np.float32)
+    if water_precorrection is not None:
+        from cbctmc_tpu.recon.fdk import apply_water_precorrection
+
+        projections = np.asarray(
+            apply_water_precorrection(jnp.asarray(projections), water_precorrection)
+        )
+
+    weights = phase_interpolation_weights(phase_signal, par.n_phases)
+    angles = np.asarray(angles_deg, np.float64)
+
+    # initialise every phase with the phase-weighted FDK (common warm start)
+    logger.info("ROOSTER init: FDK warm start")
+    init = fdk_reconstruct(projections, geometry, angles, grid=grid)
+    volumes = jnp.tile(jnp.asarray(init, jnp.float32)[None], (par.n_phases, 1, 1, 1))
+
+    spacing = np.asarray(grid.spacing, np.float64)
+    origin = grid.origin_or_centered()
+    sources = geometry.source_positions(angles)
+    dirs = geometry.beam_directions(angles)
+    e_us = geometry.u_axes(angles)
+    pixel_u = jnp.asarray(geometry.u_coordinates(), jnp.float32)
+    pixel_v = jnp.asarray(geometry.v_coordinates(), jnp.float32)
+    step_mm = 0.7 * float(spacing.min())
+    max_path = float(
+        geometry.sdd + np.linalg.norm(np.asarray(grid.shape) * spacing)
+    )
+    n_steps = int(np.ceil(max_path / step_mm))
+
+    from cbctmc_tpu.recon.fdk import _backproject
+
+    u = geometry.u_coordinates()
+    v = geometry.v_coordinates()
+
+    def data_update(volume: jnp.ndarray, proj_indices: np.ndarray,
+                    w: np.ndarray) -> jnp.ndarray:
+        """One Landweber pass of a phase volume over its projections."""
+        residual = np.empty(
+            (len(proj_indices), geometry.n_pixels_v, geometry.n_pixels_u),
+            np.float32,
+        )
+        for j, pi in enumerate(proj_indices):
+            det_center = sources[pi] + dirs[pi] * geometry.sdd
+            fp = _project_one(
+                volume,
+                jnp.asarray(origin, jnp.float32),
+                jnp.asarray(spacing, jnp.float32),
+                jnp.asarray(sources[pi], jnp.float32),
+                jnp.asarray(det_center, jnp.float32),
+                jnp.asarray(e_us[pi], jnp.float32),
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                pixel_u, pixel_v,
+                n_steps=n_steps, step_mm=jnp.float32(step_mm),
+            )
+            residual[j] = w[j] * (np.asarray(fp) - projections[pi])
+
+        # unfiltered backprojection of the residual, normalised by the
+        # path length through the volume (SART-style weighting)
+        bp = _backproject(
+            jnp.asarray(residual),
+            jnp.asarray(sources[proj_indices], jnp.float32),
+            jnp.asarray(dirs[proj_indices], jnp.float32),
+            jnp.asarray(e_us[proj_indices], jnp.float32),
+            jnp.asarray([u[0], 1.0 / geometry.pixel_size_u], jnp.float32),
+            jnp.asarray([v[0], 1.0 / geometry.pixel_size_v], jnp.float32),
+            tuple(grid.shape),
+            jnp.asarray(origin, jnp.float32),
+            jnp.asarray(grid.spacing, jnp.float32),
+            jnp.float32(geometry.sad),
+            jnp.float32(geometry.sdd),
+            jnp.float32(1.0 / max(len(proj_indices), 1)),
+        )
+        path_norm = float(np.linalg.norm(np.asarray(grid.shape) * spacing))
+        return volume - par.data_step_size * bp / path_norm
+
+    for outer in range(par.n_iterations):
+        new_volumes = []
+        for phase in range(par.n_phases):
+            w_all = weights[:, phase]
+            proj_indices = np.where(w_all > 1e-6)[0]
+            vol = volumes[phase]
+            if len(proj_indices):
+                for _ in range(par.n_data_subiterations):
+                    vol = data_update(vol, proj_indices, w_all[proj_indices])
+            new_volumes.append(vol)
+        volumes = jnp.stack(new_volumes)
+
+        if par.gamma_space > 0:
+            volumes = jax.vmap(
+                lambda v: _spatial_tv_chambolle(
+                    v, par.gamma_space, par.n_tv_iterations
+                )
+            )(volumes)
+        if par.gamma_time > 0 and par.n_phases > 1:
+            volumes = _temporal_tv(volumes, par.gamma_time, par.n_tv_iterations)
+        logger.info("ROOSTER outer iteration %d/%d done", outer + 1, par.n_iterations)
+
+    return np.asarray(volumes)

@@ -7,6 +7,7 @@ after import is what actually pins the tests to CPU.
 """
 
 import os
+from pathlib import Path
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -19,3 +20,9 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# amortize the engine's XLA compiles across test runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

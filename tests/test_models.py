@@ -1,0 +1,150 @@
+"""Tests for the DL subsystem: FlexUNet, speedup net, segmenter, trainers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbctmc_tpu.models.flex_unet import FlexUNet, instance_norm
+from cbctmc_tpu.models.losses import dice_loss, gaussian_nll_loss, segmentation_loss
+from cbctmc_tpu.models.segmentation import (
+    MCSegmenter,
+    N_LABELS,
+    PatchStitcher,
+    default_segmenter_model,
+    get_label_index,
+    ordered_patch_slicings,
+)
+from cbctmc_tpu.models.speedup_net import MCSpeedUpNet, sample_projection
+from cbctmc_tpu.models.training import SegmentationTrainer, SpeedupTrainer
+
+
+def test_flex_unet_2d_shapes():
+    model = FlexUNet(n_classes=2, n_levels=2, ndim=2, filter_base=8)
+    x = jnp.zeros((2, 32, 48, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 32, 48, 2)
+
+
+def test_flex_unet_3d_explicit_filters():
+    model = FlexUNet(
+        n_classes=N_LABELS, n_levels=2, ndim=3, n_filters=[8, 8, 8, 8, 8, 8]
+    )
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 16, 16, 16, N_LABELS)
+
+
+def test_instance_norm():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3)) * 5 + 2
+    y = instance_norm(x)
+    np.testing.assert_allclose(np.asarray(y.mean(axis=(1, 2))), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y.std(axis=(1, 2))), 1.0, atol=1e-3)
+
+
+def test_speedup_net_semantics():
+    model = MCSpeedUpNet(mean_filter_base=4, var_filter_base=4)
+    x = jnp.stack(
+        [jnp.full((1, 32, 32), 2.0), jnp.full((1, 32, 32), 1.0)], axis=-1
+    )
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    mean, var = out[..., 0], out[..., 1]
+    # mean is bounded to low +- 10 and non-negative
+    assert (mean >= 0).all() and (mean <= 12.0).all()
+    # variance is positive and bounded by 0.1*mean + eps
+    assert (var > 0).all()
+    assert (var <= 0.1 * mean + 1e-5).all()
+
+    sample = sample_projection(jax.random.PRNGKey(1), mean, var)
+    assert (sample >= 0).all()
+
+
+def test_patch_slicing_covers_volume():
+    shape, patch = (70, 64, 40), (32, 32, 32)
+    covered = np.zeros(shape, bool)
+    for sl in ordered_patch_slicings(shape, patch, overlap=0.5):
+        covered[sl] = True
+        for s, p in zip(sl, patch):
+            assert s.stop - s.start == p
+    assert covered.all()
+
+
+def test_patch_stitcher_mean():
+    stitcher = PatchStitcher((4, 4))
+    stitcher.add_patch(np.full((4, 2), 1.0, np.float32), (slice(None), slice(0, 2)))
+    stitcher.add_patch(np.full((4, 4), 3.0, np.float32), (slice(None), slice(None)))
+    mean = stitcher.calculate_mean()
+    np.testing.assert_allclose(mean[:, :2], 2.0)
+    np.testing.assert_allclose(mean[:, 2:], 3.0)
+
+
+def test_segmenter_end_to_end_tiny():
+    model = FlexUNet(
+        n_classes=N_LABELS, n_levels=2, ndim=3, n_filters=[4] * 6
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1))
+    )["params"]
+    seg = MCSegmenter(
+        model=model, params=params, patch_shape=(16, 16, 16), patch_overlap=0.5
+    )
+    image = np.random.default_rng(0).normal(0, 300, (20, 18, 16)).astype(np.float32)
+    one_hot, raw = seg.segment(image)
+    assert one_hot.shape[0] == N_LABELS
+    assert raw.shape == one_hot.shape
+    # softmax group is one-hot: sums to 1 over first 8 channels
+    np.testing.assert_array_equal(one_hot[:8].sum(axis=0), 1)
+    assert get_label_index("lung") == 6
+
+
+def test_losses():
+    probs = jnp.array([[[[1.0, 0.0]]]])
+    target = jnp.array([[[[1.0, 0.0]]]])
+    assert float(dice_loss(probs, target)) == pytest.approx(0.0, abs=1e-4)
+
+    mean = jnp.zeros((2, 4, 4, 1))
+    var = jnp.full((2, 4, 4, 1), 0.5)
+    nll0 = gaussian_nll_loss(mean, var, jnp.zeros_like(mean))
+    nll1 = gaussian_nll_loss(mean, var, jnp.ones_like(mean))
+    assert float(nll1) > float(nll0)
+
+
+def test_speedup_trainer_two_phases(tmp_path):
+    model = MCSpeedUpNet(mean_filter_base=2, var_filter_base=2)
+    trainer = SpeedupTrainer(model, n_pretrain_steps=3, learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            low = rng.random((2, 16, 16)).astype(np.float32)
+            yield {
+                "input": jnp.stack([low, low], axis=-1),
+                "target": jnp.asarray(low[..., None] * 1.1),
+            }
+
+    state = trainer.init(jax.random.PRNGKey(0), next(batches()))
+    losses = []
+    state = trainer.fit(
+        state, batches(), n_steps=6, callback=lambda s, l: losses.append(l)
+    )
+    assert state.step == 6
+    assert len(losses) == 6
+    assert np.isfinite(losses).all()
+
+
+def test_segmentation_trainer_step():
+    model = FlexUNet(n_classes=N_LABELS, n_levels=1, ndim=3, n_filters=[2, 2, 2, 2])
+    trainer = SegmentationTrainer(model, learning_rate=1e-3)
+    rng = np.random.default_rng(1)
+    target = np.zeros((1, 8, 8, 8, N_LABELS), np.float32)
+    target[..., 0] = 1.0
+    batch = {
+        "input": jnp.asarray(rng.random((1, 8, 8, 8, 1)), jnp.float32),
+        "target": jnp.asarray(target),
+    }
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    state = trainer.fit(state, iter([batch, batch]), n_steps=2)
+    assert state.step == 2
