@@ -162,3 +162,47 @@ def test_reconstruction_entry_point(tmp_path):
     assert recon.shape == (48, 48, 4)
     center = recon[20:28, 20:28, 2].mean()
     assert center == pytest.approx(0.02, rel=0.1)
+
+
+def test_native_interchange_roundtrip(tmp_path):
+    """Native C++ codecs and the MC-GPU geometry/input exporters."""
+    from cbctmc_tpu import native
+    from cbctmc_tpu.utils.interchange import (
+        export_mcgpu_geometry,
+        export_mcgpu_input,
+    )
+    import gzip
+
+    rng = np.random.default_rng(0)
+    mats = rng.integers(1, 23, (6, 5, 4)).astype(np.uint8)
+    dens = (rng.random((6, 5, 4)) * 2.5).astype(np.float32)
+
+    path = export_mcgpu_geometry(mats, dens, (0.1, 0.1, 0.1), tmp_path / "g.vox.gz")
+    text = gzip.open(path, "rt").read()
+    assert "[SECTION VOXELS HEADER" in text
+    body = text.split("[END OF VXH SECTION]")[1]
+    values = native.parse_ascii_floats(body, 10_000)
+    assert len(values) == 2 * mats.size
+    # x runs fastest in the file
+    np.testing.assert_allclose(
+        values[1::2].reshape(4, 5, 6).transpose(2, 1, 0), dens, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        values[0::2].reshape(4, 5, 6).transpose(2, 1, 0).astype(np.uint8), mats
+    )
+
+    inp = export_mcgpu_input(
+        tmp_path / "input.in",
+        voxel_geometry_filepath=str(path),
+        material_filepaths=["m1.mcgpu", "m2.mcgpu"],
+        spectrum_filepath="spec.spc",
+        output_folder=str(tmp_path),
+        n_histories=1000,
+        source_position_cm=(25.0, -75.0, 25.0),
+        n_projections=4,
+    )
+    content = inp.read_text()
+    for section in ("SIMULATION CONFIG", "SOURCE", "IMAGE DETECTOR",
+                    "CT SCAN TRAJECTORY", "VOXELIZED GEOMETRY",
+                    "MATERIAL FILE LIST"):
+        assert section in content
