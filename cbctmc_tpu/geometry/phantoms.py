@@ -259,3 +259,84 @@ class LinePairPhantomGeometry(WaterPhantomGeometry):
         mat = self.table_set.material(line_material)
         self.materials[mask] = mat.number
         self.densities[mask] = mat.density
+
+
+class CIRSPhantomGeometry(MCGeometry):
+    """CIRS thorax-like motion phantom helpers: a spherical soft-tissue
+    insert with a cylindrical cutout, and an aluminium line-pair insert for
+    in-phantom MTF measurements (reference: MCCIRSPhantomGeometry,
+    cbctmc/mc/geometry.py:642-878). A base geometry (from a CT of the
+    physical phantom) can be loaded with :meth:`MCGeometry.load`; the
+    insert builders below also work on any geometry."""
+
+    DEFAULT_INSERT_CENTER = (238, 141, 71)
+
+    @staticmethod
+    def create_spherical_mask(radius, shape, center):
+        x = (np.arange(shape[0], dtype=np.float32) - center[0]) ** 2
+        y = (np.arange(shape[1], dtype=np.float32) - center[1]) ** 2
+        z = (np.arange(shape[2], dtype=np.float32) - center[2]) ** 2
+        return (
+            x[:, None, None] + y[None, :, None] + z[None, None, :]
+        ) <= radius**2
+
+    @classmethod
+    def create_cirs_insert(cls, shape, insert_center, radius: float = 15.0,
+                           cutout_radius: float = 1.5):
+        """Sphere of `radius` voxels with a cylindrical cutout above the
+        centre (the dosimeter channel)."""
+        mask = cls.create_spherical_mask(radius, shape, insert_center)
+        cyl_center = np.asarray(insert_center) + np.array([0, 0, radius / 2])
+        cutout = cylinder_mask(
+            shape, tuple(cyl_center), cutout_radius, radius
+        )
+        mask[cutout] = False
+        return mask
+
+    def place_insert(self, shift=(0, 0, 0), insert_center=None,
+                     material: str = "soft_tissue") -> "CIRSPhantomGeometry":
+        insert_center = np.asarray(
+            insert_center or self.DEFAULT_INSERT_CENTER
+        ) + np.asarray(shift)
+        mask = self.create_cirs_insert(self.image_shape, insert_center)
+        out = self.copy()
+        table_set = getattr(self, "table_set", None) or default_material_set()
+        mat = table_set.material(material)
+        out.materials[mask] = mat.number
+        out.densities[mask] = mat.density
+        out.__class__ = CIRSPhantomGeometry
+        return out
+
+    def place_line_pair_insert(self, gap: float = 4.0,
+                               insert_center=None,
+                               width: int = 20) -> "CIRSPhantomGeometry":
+        """Upsample x by 4 (0.25 mm) and place aluminium/lung-density line
+        pairs around the insert position (reference: geometry.py:797-862)."""
+        table_set = getattr(self, "table_set", None) or default_material_set()
+        alu = table_set.material("aluminium")
+        h2o = table_set.material("h2o")
+
+        out = self.copy()
+        out.materials = np.repeat(out.materials, 4, axis=0)
+        out.densities = np.repeat(out.densities, 4, axis=0)
+        out.image_spacing = (self.image_spacing[0] / 4.0,) + tuple(
+            self.image_spacing[1:]
+        )
+
+        spacing_x = out.image_spacing[0]
+        gap_vox = int(gap // spacing_x)
+        n_line_pairs = 4
+        center = np.asarray(insert_center or self.DEFAULT_INSERT_CENTER, float)
+        start = int(center[0] / spacing_x - n_line_pairs / 2 * 2 * gap_vox)
+        cy, cz = int(center[1]), int(center[2])
+
+        for i in range(n_line_pairs):
+            offset = start + i * 2 * gap_vox
+            sl_yz = (slice(cy - width, cy + width), slice(cz - width, cz + width))
+            out.materials[(slice(offset, offset + gap_vox), *sl_yz)] = alu.number
+            out.densities[(slice(offset, offset + gap_vox), *sl_yz)] = alu.density
+            lo = offset + gap_vox
+            out.materials[(slice(lo, lo + gap_vox), *sl_yz)] = h2o.number
+            out.densities[(slice(lo, lo + gap_vox), *sl_yz)] = 0.207 * h2o.density
+        out.__class__ = CIRSPhantomGeometry
+        return out
