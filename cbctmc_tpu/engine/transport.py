@@ -176,6 +176,11 @@ class EngineConfig:
     # budget simply stay pending (the photon waits at its interaction site),
     # which keeps the expensive shell/RITA sampling off the full lane width.
     event_fraction: float = 0.25
+    # tally energy deposited per voxel and per material (KERMA approximation,
+    # as the reference: electrons are not transported;
+    # MC-GPU_kernel_v1.3.cu:391-443, 1522-1563). Adds a voxel-sized f32
+    # accumulator to the carry.
+    tally_dose: bool = False
 
     @property
     def event_lanes(self) -> int:
@@ -238,6 +243,9 @@ def run_projection(
         key=key,
         it=jnp.int32(0),
     )
+    if config.tally_dose:
+        state["voxel_dose"] = jnp.zeros_like(volume.density)
+        state["material_dose"] = jnp.zeros((n_mats, 2), jnp.float32)
 
     def cond(s):
         return ((s["remaining"] > 0) | s["alive"].any()) & (
@@ -362,6 +370,7 @@ def run_projection(
             k_ray, energy[idx_r], mat[idx_r], ebin[idx_r], tables, valid_r
         )
 
+        energy_before = energy
         energy = energy.at[idx_c].set(
             jnp.where(valid_c, new_e_c, 0.0), mode="drop"
         )
@@ -380,6 +389,29 @@ def run_projection(
         absorbed = is_photo | (take_c & (new_ebin < 0))
         alive = alive & ~absorbed
 
+        # ---------------- dose tallies (optional) -------------------------
+        extra_state = {}
+        if config.tally_dose:
+            # energy deposited: full energy for photoelectric, interaction
+            # loss for Compton (electrons not transported; below-cutoff
+            # residual energy is discarded as in the reference)
+            edep = jnp.where(
+                is_photo, energy,
+                jnp.where(take_c, energy_before - energy, 0.0),
+            )
+            deposit = is_photo | take_c
+            dose_idx = jnp.where(deposit, vox, -1)
+            extra_state["voxel_dose"] = s["voxel_dose"].at[dose_idx].add(
+                jnp.where(deposit, edep, 0.0), mode="drop"
+            )
+            mat_idx = jnp.where(deposit, mat, -1)
+            material_dose = s["material_dose"].at[mat_idx, 0].add(
+                jnp.where(deposit, edep, 0.0), mode="drop"
+            )
+            extra_state["material_dose"] = material_dose.at[mat_idx, 1].add(
+                jnp.where(deposit, edep * edep, 0.0), mode="drop"
+            )
+
         ebin = jnp.where(take_c, new_ebin, ebin)
         mfp_wc = jnp.where(take_c & alive, woodcock_mfp(ebin, energy), mfp_wc)
         scatter = jnp.where(
@@ -395,10 +427,18 @@ def run_projection(
             alive=alive, pending=pending, vox=vox, randno=randno,
             prob_delta=prob_delta, mfp_density=mfp_density,
             remaining=remaining, image=image, key=key, it=s["it"] + 1,
+            **extra_state,
         )
 
     final = jax.lax.while_loop(cond, body, state)
     image = final["image"].reshape(4, n_pixels_z, n_pixels_x)
+    extras = {}
+    if config.tally_dose:
+        extras["voxel_dose"] = final["voxel_dose"]
+        extras["material_dose"] = final["material_dose"]
     if return_stats:
-        return image, {"iterations": final["it"], "remaining": final["remaining"]}
+        extras["iterations"] = final["it"]
+        extras["remaining"] = final["remaining"]
+    if extras:
+        return image, extras
     return image

@@ -148,3 +148,70 @@ def test_segmentation_trainer_step():
     state = trainer.init(jax.random.PRNGKey(0), batch)
     state = trainer.fit(state, iter([batch, batch]), n_steps=2)
     assert state.step == 2
+
+
+def test_speedup_full_loop_on_simulated_data(tmp_path):
+    """The complete speedup workflow on real (tiny) simulation outputs:
+    simulate low/high-photon scans, build the triplet dataset, train briefly,
+    run batched inference + Gaussian sampling."""
+    from cbctmc_tpu.engine.simulate import MCScanner, SimulationParameters
+    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.models.datasets import (
+        SpeedupProjectionDataset,
+        create_speedup_dataset_from_simulation,
+    )
+    from cbctmc_tpu.models.speedup_inference import MCSpeedup
+    from cbctmc_tpu.physics.materials import default_material_set
+    from cbctmc_tpu.geometry.mc_geometry import MCGeometry
+    from cbctmc_tpu.pipeline.simulation import MCSimulation
+
+    ts = default_material_set()
+    air, water = ts.material("air"), ts.material("h2o")
+    shape = (24, 24, 24)
+    mats = np.full(shape, air.number, np.uint8)
+    dens = np.full(shape, air.density, np.float32)
+    mats[8:16, 8:16, 8:16] = water.number
+    dens[8:16, 8:16, 8:16] = water.density
+    geometry = MCGeometry(mats, dens, image_spacing=(8.0, 8.0, 8.0))
+
+    def simulate(n_hist, folder):
+        params = SimulationParameters(
+            n_histories=n_hist, n_projections=2, angle_between_projections=180.0,
+            n_detector_pixels=(32, 32), detector_size=(400.0, 400.0),
+            source_polar_aperture=(-1.0, -1.0), source_azimuthal_aperture=-1.0,
+        )
+        sim = MCSimulation(
+            geometry=geometry, parameters=params,
+            engine_config=EngineConfig(n_lanes=1 << 12, max_virtual_trips=4),
+            n_pixels_half_fan_x=32, air_n_histories=50_000,
+        )
+        sim.run_simulation(folder, run_air_simulation=False)
+        return folder
+
+    low_dir = simulate(20_000, tmp_path / "low")
+    high_dir = simulate(200_000, tmp_path / "high")
+    data_dir = tmp_path / "triplets"
+    create_speedup_dataset_from_simulation(low_dir, high_dir, data_dir)
+    assert len(list(data_dir.glob("*_low.npy"))) == 2
+
+    from cbctmc_tpu.models.speedup_net import MCSpeedUpNet
+    from cbctmc_tpu.models.training import SpeedupTrainer
+
+    model = MCSpeedUpNet(mean_filter_base=2, var_filter_base=2)
+    trainer = SpeedupTrainer(model, n_pretrain_steps=4, learning_rate=1e-3)
+    ds = SpeedupProjectionDataset(data_dir, batch_size=2, patch_shape=(32, 32))
+    batches = iter(ds)
+    state = trainer.init(jax.random.PRNGKey(0), next(batches))
+    losses = []
+    state = trainer.fit(state, batches, n_steps=8,
+                        callback=lambda s, l: losses.append(l))
+    assert np.isfinite(losses).all()
+
+    from cbctmc_tpu.models.checkpoints import load_params, save_params
+
+    ckpt = save_params(state.params, tmp_path / "speedup.ckpt")
+    speedup = MCSpeedup(model=model, params=load_params(state.params, ckpt))
+    low = np.stack([np.load(p) for p in sorted(data_dir.glob("*_low.npy"))])
+    mean, variance, sample = speedup.execute(low)
+    assert mean.shape == low.shape and (variance >= 0).all()
+    assert np.isfinite(sample).all() and (sample >= 0).all()

