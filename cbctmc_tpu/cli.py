@@ -184,8 +184,18 @@ def run_mc(
             )
             sim.run_simulation(sim_folder, seed=random_seed)
 
+        if do_forward_projection:
+            _forward_project_geometry(
+                geometry, sim_folder, n_projections=n_projections
+            )
+
         if speedup_weights and config_name.startswith("speedup"):
-            _apply_speedup(sim_folder, speedup_weights)
+            _apply_speedup(
+                sim_folder, speedup_weights,
+                forward_projection_path=(
+                    sim_folder / "density_fp.mha" if do_forward_projection else None
+                ),
+            )
 
         if reconstruct_3d:
             _reconstruct_3d_cli(
@@ -200,7 +210,35 @@ def run_mc(
             )
 
 
-def _apply_speedup(sim_folder: Path, speedup_weights: Path):
+def _forward_project_geometry(geometry, sim_folder: Path, n_projections: int):
+    """Joseph forward projection of the density volume at the scan angles
+    (the speedup model's second input; reference:
+    scripts/run_mc_simulations.py:444-461 -> density_fp.mha)."""
+    import numpy as np
+
+    from cbctmc_tpu.pipeline.simulation import _write_projection_stack
+    from cbctmc_tpu.recon.geometry import ConeBeamGeometry, mc_scan_angles
+    from cbctmc_tpu.recon.joseph import project_forward
+
+    densities = np.rot90(geometry.densities, k=3, axes=(0, 1))
+    spacing = (
+        geometry.image_spacing[1],
+        geometry.image_spacing[0],
+        geometry.image_spacing[2],
+    )
+    fp = project_forward(
+        np.ascontiguousarray(densities),
+        ConeBeamGeometry(),
+        mc_scan_angles(n_projections),
+        volume_spacing=spacing,
+    )
+    _write_projection_stack(
+        fp[:, ::-1, :], sim_folder / "density_fp.mha", (0.388, 0.388)
+    )
+
+
+def _apply_speedup(sim_folder: Path, speedup_weights: Path,
+                   forward_projection_path: Path | None = None):
     from cbctmc_tpu.models.speedup_inference import MCSpeedup
     from cbctmc_tpu.pipeline.simulation import (
         _read_projection_stack,
@@ -208,8 +246,11 @@ def _apply_speedup(sim_folder: Path, speedup_weights: Path):
     )
 
     low = _read_projection_stack(sim_folder / "projections_total.mha")
+    fp = None
+    if forward_projection_path and Path(forward_projection_path).is_file():
+        fp = _read_projection_stack(forward_projection_path)
     speedup = MCSpeedup.from_checkpoint(speedup_weights, example_shape=low.shape)
-    mean, variance, sample = speedup.execute(low)
+    mean, variance, sample = speedup.execute(low, forward_projection=fp)
     _write_projection_stack(
         sample, sim_folder / "projections_total_speedup.mha", (0.388, 0.388)
     )

@@ -215,3 +215,27 @@ def test_speedup_full_loop_on_simulated_data(tmp_path):
     mean, variance, sample = speedup.execute(low)
     assert mean.shape == low.shape and (variance >= 0).all()
     assert np.isfinite(sample).all() and (sample >= 0).all()
+
+
+def test_experimental_models():
+    from cbctmc_tpu.models.experimental import (
+        DenseNet2D,
+        MCSpeedUpNetSeparated,
+        ResidualDenseNet2D,
+    )
+
+    x = jnp.ones((1, 16, 16, 2))
+    for model, out_ch in (
+        (ResidualDenseNet2D(n_blocks=2, features=4, growth_rate=4), 1),
+        (DenseNet2D(n_layers=2, growth_rate=4), 1),
+        (MCSpeedUpNetSeparated(), 2),
+    ):
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        out = model.apply({"params": params}, x)
+        assert out.shape == (1, 16, 16, out_ch)
+        assert np.isfinite(np.asarray(out)).all()
+    # separated net: variance strictly positive
+    model = MCSpeedUpNetSeparated()
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert (np.asarray(out[..., 1]) > 0).all()
