@@ -10,11 +10,10 @@ workflows translate directly. GPU pinning options are accepted but ignored
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import logging
 from pathlib import Path
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import click
 import numpy as np

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cbctmc_tpu.engine import samplers
-from cbctmc_tpu.engine.rng import uniform_open, uniforms_open
+from cbctmc_tpu.engine.rng import uniform_open
 from cbctmc_tpu.engine.samplers import FanBeamSource
 from cbctmc_tpu.engine.ct import DetectorGeom
 from cbctmc_tpu.engine.tables import DeviceTables, WoodcockTable

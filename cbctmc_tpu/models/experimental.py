@@ -9,8 +9,6 @@ experiments from the reference can be reproduced.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ normalisation is InstanceNorm (non-affine), matching torch's default.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

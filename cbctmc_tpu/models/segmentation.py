@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

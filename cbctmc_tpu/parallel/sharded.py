@@ -20,7 +20,7 @@ speed-weighted splitting are unnecessary: the budget is split equally.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

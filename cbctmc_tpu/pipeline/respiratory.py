@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import pickle
 from math import ceil
-from pathlib import Path
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

@@ -28,7 +28,7 @@ import dataclasses
 import hashlib
 import logging
 from pathlib import Path
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

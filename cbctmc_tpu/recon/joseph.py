@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cbctmc_tpu.recon.geometry import ConeBeamGeometry, VolumeGrid
+from cbctmc_tpu.recon.geometry import ConeBeamGeometry
 
 
 def _trilinear(volume: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray):

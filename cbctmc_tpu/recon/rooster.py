@@ -31,7 +31,7 @@ import numpy as np
 
 from cbctmc_tpu.recon.fdk import fdk_reconstruct
 from cbctmc_tpu.recon.geometry import ConeBeamGeometry, VolumeGrid
-from cbctmc_tpu.recon.joseph import project_forward, _project_one, _trilinear
+from cbctmc_tpu.recon.joseph import _project_one
 
 logger = logging.getLogger(__name__)
 

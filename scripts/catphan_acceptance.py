@@ -1,0 +1,120 @@
+"""CatPhan604 end-to-end acceptance: post-process a simulated scan into the
+CT-number accuracy report (the reference pipeline's own acceptance metric:
+per-insert ROI means vs REFERENCE_MU; cf. scripts/fit_wpc_catphan.py and
+eval_speedup_catphan.py in the reference).
+
+Consumes the raw per-projection images + air scan produced by the
+simulation stage (saved as .npy), applies detector binning (photon-starved
+pixels bias log normalisation), Beer-Lambert air normalisation, an
+own-simulation WPC fit, FDK reconstruction, and writes the ROI report.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import click
+
+
+@click.command()
+@click.option("--images", "images_path", type=click.Path(path_type=Path),
+              required=True, help="raw images .npy [P, 4, v, u] (eV/cm^2/hist)")
+@click.option("--air", "air_path", type=click.Path(path_type=Path), required=True,
+              help="air scan .npy [4, v, u]")
+@click.option("--output-folder", type=click.Path(path_type=Path), required=True)
+@click.option("--bin-factor", type=int, default=4)
+@click.option("--crop-x", type=int, default=512, help="half-fan columns (wide grid)")
+@click.option("--start-angle", type=float, default=270.0)
+@click.option("--pixel-size", type=float, default=0.776,
+              help="unbinned detector pixel [mm]")
+@click.option("--detector-offset", type=float, default=-159.856)
+def main(images_path, air_path, output_folder, bin_factor, crop_x, start_angle,
+         pixel_size, detector_offset):
+    import json
+
+    import numpy as np
+
+    from cbctmc_tpu.engine.simulate import air_normalize, crop_half_fan
+    from cbctmc_tpu.geometry.phantoms import CatPhan604Geometry
+    from cbctmc_tpu.physics.reference_values import REFERENCE_MU
+    from cbctmc_tpu.pipeline.reconstruction import engine_volume_to_mc_frame
+    from cbctmc_tpu.pipeline.wpc_fit import run_wpc_fit
+    from cbctmc_tpu.recon.fdk import fdk_reconstruct
+    from cbctmc_tpu.recon.geometry import ConeBeamGeometry, VolumeGrid
+
+    output_folder = Path(output_folder)
+    output_folder.mkdir(parents=True, exist_ok=True)
+
+    images = np.load(images_path).astype(np.float64)
+    air = np.load(air_path).astype(np.float64)
+    n_proj = images.shape[0]
+    angles = start_angle + np.arange(n_proj) * 360.0 / n_proj
+
+    def bin2d(a, f):
+        v, u = a.shape[-2] // f * f, a.shape[-1] // f * f
+        a = a[..., :v, :u]
+        return a.reshape(*a.shape[:-2], v // f, f, u // f, f).mean(axis=(-3, -1))
+
+    def prep(stack, flat):
+        stack = bin2d(crop_half_fan(stack, crop_x), bin_factor)
+        flat = bin2d(crop_half_fan(flat[None], crop_x)[0], bin_factor)
+        norm = air_normalize(stack, flat, denoise_sigma=(2, 2))
+        return norm[:, ::-1, :].astype(np.float32)
+
+    cb = ConeBeamGeometry(
+        sad=1000.0, sdd=1500.0,
+        n_pixels_u=crop_x // bin_factor,
+        n_pixels_v=bin2d(images[0, 0], bin_factor).shape[0],
+        pixel_size_u=pixel_size * bin_factor,
+        pixel_size_v=pixel_size * bin_factor,
+        detector_offset_u=detector_offset,
+    )
+    grid = VolumeGrid(shape=(256, 256, 60), spacing=(1.0, 1.0, 1.0))
+
+    def roi_report(vol):
+        stats = CatPhan604Geometry.calculate_roi_statistics(vol)
+        report, errs = {}, []
+        for name, s in stats.items():
+            k = "h2o" if name == "water" else (
+                "air" if name.startswith("air") else name
+            )
+            ref = REFERENCE_MU.get(k)
+            rel = (s["mean"] - ref) / ref if ref else None
+            report[name] = {"mean": s["mean"], "std": s["std"],
+                            "reference_mu": ref, "relative_error": rel}
+            if ref and k != "air":
+                errs.append(abs(rel))
+        report["mean_absolute_relative_error"] = float(np.mean(errs))
+        return report
+
+    results = {}
+
+    # primary-only (scatter-free diagnostic)
+    norm_p = prep(images[:, 0], air[0])
+    vol_p = engine_volume_to_mc_frame(
+        fdk_reconstruct(norm_p, cb, angles, grid=grid)
+    )
+    np.save(output_folder / "recon_primary.npy", vol_p)
+    results["primary_only"] = roi_report(vol_p)
+
+    # total with own-simulation WPC
+    norm_t = prep(images.sum(axis=1), air.sum(axis=0))
+    wpc = run_wpc_fit(norm_t, cb, angles, grid, n_orders=4)
+    vol_t = engine_volume_to_mc_frame(
+        fdk_reconstruct(norm_t, cb, angles, grid=grid,
+                        water_precorrection=wpc["coefficients"])
+    )
+    np.save(output_folder / "recon_total_wpc.npy", vol_t)
+    results["total_own_wpc"] = roi_report(vol_t)
+    results["wpc_coefficients"] = wpc["coefficients"]
+
+    with open(output_folder / "catphan_acceptance.json", "w") as f:
+        json.dump(results, f, indent=2)
+    for section in ("primary_only", "total_own_wpc"):
+        click.echo(f"== {section}: MARE = "
+                   f"{results[section]['mean_absolute_relative_error']:.2%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -206,3 +206,47 @@ def test_native_interchange_roundtrip(tmp_path):
                     "CT SCAN TRAJECTORY", "VOXELIZED GEOMETRY",
                     "MATERIAL FILE LIST"):
         assert section in content
+
+
+def test_geometry_from_ct_with_provided_segmentations(tmp_path):
+    """Patient workflow without DL weights: CT + segmentation masks ->
+    material geometry through the default mapper pipeline."""
+    from cbctmc_tpu.pipeline.patient import geometry_from_ct
+    from cbctmc_tpu.physics.materials import default_material_set
+    from cbctmc_tpu.utils.io import write_image
+
+    rng = np.random.default_rng(0)
+    shape = (20, 20, 20)
+    ct = np.full(shape, -1000.0, np.float32)  # air
+    body = np.zeros(shape, np.uint8)
+    body[4:16, 4:16, 4:16] = 1
+    ct[body > 0] = 40.0  # soft tissue HU
+    bone = np.zeros(shape, np.uint8)
+    bone[8:12, 8:12, 8:12] = 1
+    ct[bone > 0] = 500.0
+    lung = np.zeros(shape, np.uint8)
+    lung[5:7, 5:7, 5:7] = 1
+    ct[lung > 0] = -800.0
+
+    ct_path = tmp_path / "ct.mha"
+    write_image(ct, ct_path, spacing=(1.0, 1.0, 1.0))
+
+    geometry = geometry_from_ct(
+        ct_path,
+        body_segmentation=body,
+        bone_segmentation=bone,
+        lung_segmentation=lung,
+    )
+    ts = default_material_set()
+    assert geometry.materials.shape == shape
+    # outside body -> air
+    assert geometry.materials[0, 0, 0] == ts.material("air").number
+    # inside bone mask with 500 HU -> bone_050 (plus bone_100 outline)
+    bone_region = geometry.materials[8:12, 8:12, 8:12]
+    assert set(np.unique(bone_region)).issubset(
+        {ts.material("bone_050").number, ts.material("bone_100").number}
+    )
+    # lung voxels -> lung material
+    assert geometry.materials[5, 5, 5] == ts.material("lung").number
+    # body elsewhere -> soft tissue
+    assert geometry.materials[14, 14, 14] == ts.material("soft_tissue").number
