@@ -173,3 +173,26 @@ def run_scan_sharded(
         return jax.lax.fori_loop(0, n_local_proj, one, acc)
 
     return _run(budgets, keys, source, detector)
+
+
+def initialize_multi_host(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Initialise jax.distributed for multi-host (pod-scale) meshes.
+
+    Within a pod slice, detector-tally psums ride ICI; across hosts they
+    traverse DCN — the layout in :func:`make_mesh` keeps the "photons" axis
+    innermost so the high-frequency reduction stays on ICI (the reference's
+    MPI ran everything over the host network; MC-GPU_v1.3.cu:1016-1034).
+    On TPU pods the arguments are auto-detected from the environment.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.devices()
