@@ -11,6 +11,15 @@ per-lane dynamic gathers that the design depends on.
 
 Run :func:`probe_vmem_gather` on hardware to verify the lowering before
 relying on the kernel path.
+
+Hardware finding (TPU v5e, jax 0.9 Mosaic): per-lane dynamic vector
+indexing of a VMEM table (``table[idx_vector]``) does NOT lower ("Cannot do
+int indexing on TPU") — the probe returns False. Consequences for the
+megakernel design: small tables (the 22-entry material axis) can be
+gathered via one-hot matmuls on the MXU, but voxel-grid lookups must stay
+in XLA's native gather (which is fast: 0.02-0.06 ms per 1M lanes) or move
+to a sorted/bucketed DMA scheme. The flight kernel below is therefore a
+prototype exercised in interpret mode only.
 """
 
 from __future__ import annotations
