@@ -170,3 +170,39 @@ def test_evaluation_helpers():
         source_offsets=[(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (2.0, 0.0, 0.0)],
     )
     assert result["best"]["source_position_offset"] == (1.0, 0.0, 0.0)
+
+
+def test_noise_fit_law():
+    from cbctmc_tpu.pipeline.noise_fit import fit_noise_law
+
+    rng = np.random.default_rng(3)
+    a_true, c_true = 5.0, 1e-4
+    counts = np.array([1e8, 2e8, 4e8, 8e8, 1.6e9])
+    stds = a_true / np.sqrt(counts) + c_true + rng.normal(0, 1e-7, len(counts))
+    a, c = fit_noise_law(counts, stds)
+    assert a == pytest.approx(a_true, rel=0.02)
+    assert c == pytest.approx(c_true, rel=0.1)
+    # solving for the count that hits a target std
+    target = 2e-4
+    n_star = (a / (target - c)) ** 2
+    assert a / np.sqrt(n_star) + c == pytest.approx(target, rel=1e-6)
+
+
+def test_kernel_census_parsing(tmp_path):
+    import gzip, json
+
+    from cbctmc_tpu.utils.profiling import kernel_census
+
+    trace = {"traceEvents": [
+        {"ph": "X", "dur": 100, "name": "fusion.1"},
+        {"ph": "X", "dur": 50, "name": "fusion.1"},
+        {"ph": "X", "dur": 30, "name": "copy.2"},
+        {"ph": "M", "name": "meta"},
+    ]}
+    p = tmp_path / "x.trace.json.gz"
+    with gzip.open(p, "wt") as f:
+        json.dump(trace, f)
+    rows = kernel_census(str(p))
+    assert rows[0]["name"] == "fusion.1"
+    assert rows[0]["total_ms"] == pytest.approx(0.15)
+    assert rows[0]["count"] == 2
