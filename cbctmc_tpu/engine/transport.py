@@ -206,7 +206,12 @@ def run_projection(
 ) -> jnp.ndarray:
     """Simulate one projection; returns the detector image
     f32[4, n_pixels_z, n_pixels_x] with per-pixel deposited energy [eV] for
-    (primary, Compton, Rayleigh, multi-scatter)."""
+    (primary, Compton, Rayleigh, multi-scatter).
+
+    When ``config.tally_dose`` or ``return_stats`` is set, returns
+    ``(image, extras)`` instead, with extras containing ``voxel_dose``
+    (f32[n_voxels], eV), ``material_dose`` (f32[n_materials, 2]: eV and
+    eV^2 for uncertainty) and/or ``iterations``/``remaining`` counters."""
     n = config.n_lanes
     n_mats = tables.n_mats
     npix = n_pixels_x * n_pixels_z
