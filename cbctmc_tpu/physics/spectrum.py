@@ -174,3 +174,17 @@ def default_spectrum(name: str = "125kVp_0.89mmTi_varian_norm") -> Spectrum:
     if name not in _spectrum_cache:
         _spectrum_cache[name] = Spectrum.from_npz(_ASSETS / f"spectrum_{name}.npz")
     return _spectrum_cache[name]
+
+
+def attenuation_curve(material_identifier: str, table_set=None):
+    """Total linear attenuation curve (energies_eV, mu_per_cm) of a bundled
+    material at nominal density — for Beer-Lambert spectrum filtering (e.g.
+    aluminium pre-filters; the reference ships pre-filtered .spc variants
+    plus inline filter-mu data, cbctmc/mc/spectrum.py:9-1340)."""
+    from cbctmc_tpu.physics.materials import default_material_set
+
+    table_set = table_set or default_material_set()
+    material = table_set.materials[table_set.index_of(material_identifier)]
+    energies = table_set.e0 + table_set.de * np.arange(table_set.n_bins)
+    mu = 1.0 / material.mfp_total
+    return energies, mu

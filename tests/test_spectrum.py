@@ -71,3 +71,20 @@ def test_beer_lambert_filter():
     np.testing.assert_allclose(
         filtered.probabilities, np.exp(-1.0) * s.probabilities, rtol=1e-6
     )
+
+
+def test_filter_spectrum_with_bundled_aluminium():
+    from cbctmc_tpu.physics.spectrum import attenuation_curve, default_spectrum
+
+    s = default_spectrum("125kVp_0.89mmTi")
+    energies, mu = attenuation_curve("aluminium")
+    filtered = s.filter(energies, mu, thickness_cm=0.2, name_suffix="_2mmAl")
+
+    # filtering hardens the beam: mean energy increases, total flux drops
+    assert filtered.mean_energy > s.mean_energy + 500
+    assert filtered.probabilities.sum() < s.probabilities.sum()
+    # low-energy bins attenuate far more than high-energy bins
+    low, high = 20, -10
+    ratio_low = filtered.probabilities[low] / max(s.probabilities[low], 1e-30)
+    ratio_high = filtered.probabilities[high] / s.probabilities[high]
+    assert ratio_low < ratio_high
