@@ -1,13 +1,15 @@
 """Benchmark entry point (driver contract): prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Measures the MC engine's photon throughput on the primary workload shape:
-the CatPhan604 phantom with the Varian half-fan scan geometry (the
-reference's headline configuration; BASELINE.md). The baseline constant is
-an estimate of MC-GPU v1.3 on an RTX A6000 for comparable CT scenes —
-MC-GPU publishes ~1e7 histories/s on 2009-era hardware (Badal & Badano
-2009); scaling to an A6000 gives O(5e8) histories/s, which is recorded
-here as the reference point until a measured number is available.
+Measures the MC engine's photon throughput on the reference's headline
+workload shape: a CatPhan604 phantom voxelised at 1 mm on a 500^3 grid with
+the full-size Varian half-fan simulation detector (1848x768 px,
+717.024x297.984 mm, SID 1000 / SDD 1500 mm - cbctmc/defaults.py:60-65 in
+the reference). The baseline constant is an estimate of MC-GPU v1.3 on an
+RTX A6000 for comparable CT scenes - MC-GPU publishes ~1e7 histories/s on
+2009-era hardware (Badal & Badano 2009); scaling to an A6000 gives O(5e8)
+histories/s, which is recorded here as the reference point until a measured
+number is available.
 
 Usage: python bench.py [--smoke]   (--smoke: tiny scene, quick check)
 """
@@ -45,11 +47,16 @@ def main():
     if smoke:
         shape, spacing_mm = (64, 64, 64), 4.0
         n_pix = (116, 48)
-        n_lanes, chunk, n_chunks = 1 << 14, 200_000, 2
+        config = EngineConfig(n_lanes=1 << 14, max_virtual_trips=8)
+        chunk, n_chunks = 200_000, 2
     else:
-        shape, spacing_mm = (256, 256, 256), 2.0
-        n_pix = (924, 384)
-        n_lanes, chunk, n_chunks = 1 << 17, 4_000_000, 5
+        # full-size reference scene: 500^3 @ 1 mm, 1848x768 detector
+        shape, spacing_mm = (500, 500, 500), 1.0
+        n_pix = (1848, 768)
+        config = EngineConfig(
+            n_lanes=1 << 20, max_virtual_trips=8, event_fraction=0.5
+        )
+        chunk, n_chunks = 100_000_000, 3
 
     phantom = CatPhan604Geometry(shape=shape, image_spacing=(spacing_mm,) * 3)
     mats = np.ascontiguousarray(
@@ -73,7 +80,6 @@ def main():
     source, detector = build_scan(geom, [270.0])
     src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
     det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
-    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=16)
 
     def run(n, seed):
         img = run_projection(
@@ -84,7 +90,7 @@ def main():
         jax.block_until_ready(img)
         return img
 
-    run(min(chunk, 500_000), 0)  # compile + warmup
+    run(min(chunk, 2_000_000), 0)  # compile + warmup
 
     t0 = time.monotonic()
     total = 0

@@ -6,9 +6,21 @@ Rayleigh form-factor sampling, PENMAIN square-field fan-beam source;
 reference: docker/mcgpu/MC-GPU_kernel_v1.3.cu:626-686, 1181-1246,
 1287-1515) are recast here as fixed-trip masked iterations over the whole
 photon batch: every trip proposes for all not-yet-accepted lanes and commits
-accepted proposals. Trip counts are chosen so the probability of exhausting
-them is < 1e-6 per lane; exhausted lanes keep their last proposal (bias far
-below Monte-Carlo noise at any practical history count).
+accepted proposals.
+
+Trip counts are sized so the probability of exhausting them is below 1e-5
+per lane (measured in tests/test_samplers.py): the Compton tau rejection
+accepts with probability >~ 2/3, so 12 trips bound exhaustion by (1/3)^12 ~
+2e-6; the Rayleigh Thomson rejection accepts with >~ 2/3 as well. Exhausted
+lanes commit their last proposal - a bias far below Monte-Carlo noise at
+any practical history count.
+
+Each sampler comes in two forms: a ``*_rows`` core that takes pre-fetched
+per-lane table rows (the transport engine fetches them with one MXU one-hot
+matmul / one wide row-gather per batch - gathers on TPU cost per *index*,
+so the per-trip table walks of the reference would dominate the device
+time), and a convenience wrapper with the per-lane (mat, ebin) signature
+that gathers the rows itself (used by tests and external callers).
 
 All samplers are shape-polymorphic over the lane axis and pure; masked-out
 lanes pass their inputs through unchanged.
@@ -34,11 +46,11 @@ from cbctmc_tpu.physics.constants import (
 _SQRT_HALF = 0.70710678118654502
 _SQRT_TWO = 1.4142135623731
 
-# fixed trip counts for the masked rejection iterations
+# fixed trip counts for the masked rejection iterations (see module docs)
 SOURCE_DIR_TRIPS = 2
-COMPTON_TAU_TRIPS = 5
-COMPTON_SHELL_TRIPS = 5
-RAYLEIGH_TRIPS = 6
+COMPTON_TAU_TRIPS = 12
+COMPTON_SHELL_TRIPS = 8
+RAYLEIGH_TRIPS = 12
 
 
 def _profile_cdf_complement_terms(pzomc: jnp.ndarray) -> jnp.ndarray:
@@ -68,24 +80,30 @@ def _shell_pzomc(
     return jnp.where(safe, pz, 0.002)
 
 
-def compton_scatter(
+def compton_scatter_rows(
     key: jax.Array,
     energy: jnp.ndarray,
-    mat: jnp.ndarray,
-    ebin: jnp.ndarray,
-    tables: DeviceTables,
+    s0: jnp.ndarray,
+    f_rows: jnp.ndarray,
+    ui_rows: jnp.ndarray,
+    j0_rows: jnp.ndarray,
     mask: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sample Compton scattering: returns (new_energy, cos_theta).
+    """Sample Compton scattering from pre-fetched per-lane shell rows:
+    returns (new_energy, cos_theta).
 
     Implements the PENELOPE-2006 relativistic impulse approximation: tau is
     sampled from the Klein-Nishina composition scheme and accepted against
     the ratio of incoherent scattering functions S(E,theta)/S(E,pi), then a
     target shell and Doppler-broadened projected momentum determine the
-    energy loss. S(E,pi) is read from the precomputed per-material table.
-    """
+    energy loss. ``s0`` is S(E,pi) (precomputed per energy bin/material);
+    ``f/ui/j0_rows`` are SHELL-MAJOR [max_shells, n] - the lane axis sits in
+    the TPU lane dimension so the per-shell arithmetic uses full 8x128
+    vector tiles and the shell reductions run over sublanes. Closed/padded
+    shells carry a huge finite ui (reference math:
+    MC-GPU_kernel_v1.3.cu:1287-1515)."""
     n = energy.shape[0]
-    s_max = tables.max_shells
+    s_max = f_rows.shape[0]
 
     ek = energy * INV_ELECTRON_REST_ENERGY
     ek2 = ek * 2.0 + 1.0
@@ -95,31 +113,27 @@ def compton_scatter(
     a1 = jnp.log(ek2)
     a2 = a1 + 2.0 * ek * (ek + 1.0) * taumin * taumin
 
-    # gather shell tables for each lane: [n, s_max]
-    f = tables.shell_f[mat]
-    ui = tables.shell_ui[mat]
-    j0 = tables.shell_j0[mat]
-    open_shell = ui < energy[:, None]
-    f_open = jnp.where(open_shell, f, 0.0)
-    # padded shells carry ui=+inf; keep the arithmetic finite (their
-    # contribution is masked out anyway)
-    ui = jnp.where(open_shell, ui, 0.0)
-
-    # --- incoherent scattering function at theta = pi (tabulated) ------
-    s0 = tables.compton_s0[jnp.maximum(ebin, 0) * tables.n_mats + mat]
+    open_shell = ui_rows < energy[None, :]
+    f_open = jnp.where(open_shell, f_rows, 0.0)
+    # padded/closed shells: keep the arithmetic finite (their contribution
+    # is masked out anyway)
+    ui = jnp.where(open_shell, ui_rows, 0.0)
+    j0 = j0_rows
 
     # --- masked rejection sampling of tau ------------------------------
     # all trip uniforms generated in one call; trips unrolled so the whole
     # rejection loop fuses into a handful of kernels
     k_tau, k_shell, key = jax.random.split(key, 3)
-    u_tau = uniform_open(k_tau, (COMPTON_TAU_TRIPS, 3, n))
+    tau_keys = jax.random.split(k_tau, COMPTON_TAU_TRIPS)
 
     tau0 = jnp.ones((n,), jnp.float32)
     tau, cdt1, s = tau0, tau0, jnp.ones((n,), jnp.float32)
-    rn = jnp.zeros((n, s_max))
+    rn = jnp.zeros((s_max, n))
     accepted = ~mask
     for i in range(COMPTON_TAU_TRIPS):
-        u1, u2, u3 = u_tau[i, 0], u_tau[i, 1], u_tau[i, 2]
+        # per-trip keys: slicing a [trips, 3, n] tensor costs a relayout
+        # copy per slice on TPU
+        u1, u2, u3 = uniform_open(tau_keys[i], (3, n))
         tau_prop = jnp.where(
             u1 * a2 < a1,
             jnp.power(taumin, u2),
@@ -128,9 +142,9 @@ def compton_scatter(
         cdt1_prop = jnp.minimum(
             (1.0 - tau_prop) / (tau_prop * ek), jnp.float32(1.99999999)
         )
-        pz = _shell_pzomc(energy[:, None], ui, j0, cdt1_prop[:, None])
+        pz = _shell_pzomc(energy[None, :], ui, j0, cdt1_prop[None, :])
         rn_prop = _profile_cdf_complement_terms(pz)
-        s_prop = jnp.sum(f_open * rn_prop, axis=1)
+        s_prop = jnp.sum(f_open * rn_prop, axis=0)
         # Klein-Nishina * S ratio rejection
         t_kn = (
             s_prop
@@ -142,27 +156,32 @@ def compton_scatter(
         tau = jnp.where(take, tau_prop, tau)
         cdt1 = jnp.where(take, cdt1_prop, cdt1)
         s = jnp.where(take, s_prop, s)
-        rn = jnp.where(take[:, None], rn_prop, rn)
+        rn = jnp.where(take[None, :], rn_prop, rn)
         accepted = accepted | accept_now
     costh = 1.0 - cdt1
 
     # --- target shell + Doppler-broadened momentum ---------------------
     rn_weighted = f_open * jnp.where(open_shell, rn, 0.0)
-    cum = jnp.cumsum(rn_weighted, axis=1)
-    last_open = jnp.maximum(jnp.sum(open_shell.astype(jnp.int32), axis=1) - 1, 0)
+    cum = jnp.cumsum(rn_weighted, axis=0)
+    last_open = jnp.maximum(jnp.sum(open_shell.astype(jnp.int32), axis=0) - 1, 0)
+    shell_iota = jnp.arange(s_max, dtype=jnp.int32)[:, None]
 
-    u_shell = uniform_open(k_shell, (COMPTON_SHELL_TRIPS, 3, n))
+    shell_keys = jax.random.split(k_shell, COMPTON_SHELL_TRIPS)
 
     def shell_trip(i, carry, u1, u2, u3):
         pzomc, ishell, accepted = carry
-        target = (s * u1)[:, None]
+        target = (s * u1)[None, :]
         # first open shell whose cumulative f*rn exceeds target; default last
+        # (single min-reduce: argmax + any lower to costly sublane passes)
         hit = (cum > target) & open_shell
-        idx = jnp.argmax(hit, axis=1)
-        idx = jnp.where(hit.any(axis=1), idx, last_open)
+        idx = jnp.min(jnp.where(hit, shell_iota, s_max), axis=0)
+        idx = jnp.where(idx < s_max, idx, last_open)
 
-        rn_i = jnp.take_along_axis(rn, idx[:, None], axis=1)[:, 0]
-        j0_i = jnp.take_along_axis(j0, idx[:, None], axis=1)[:, 0]
+        # one-hot select (take_along_axis lowers to a per-lane gather, which
+        # costs per *index* on TPU; the 40-wide select is free VPU work)
+        oh = idx[None, :] == shell_iota
+        rn_i = jnp.sum(jnp.where(oh, rn, 0.0), axis=0)
+        j0_i = jnp.sum(jnp.where(oh, j0, 0.0), axis=0)
         t = jnp.clip(u2 * rn_i, 1e-12, 1.0 - 1e-7)
         pz_prop = jnp.where(
             t < 0.5,
@@ -189,7 +208,7 @@ def compton_scatter(
 
     carry = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.int32), ~mask)
     for i in range(COMPTON_SHELL_TRIPS):
-        carry = shell_trip(i, carry, u_shell[i, 0], u_shell[i, 1], u_shell[i, 2])
+        carry = shell_trip(i, carry, *uniform_open(shell_keys[i], (3, n)))
     pzomc, _, _ = carry
 
     # --- scattered photon energy ---------------------------------------
@@ -206,11 +225,28 @@ def compton_scatter(
     return new_energy, costh
 
 
-def rayleigh_scatter(
+def compton_scatter(
     key: jax.Array,
     energy: jnp.ndarray,
     mat: jnp.ndarray,
     ebin: jnp.ndarray,
+    tables: DeviceTables,
+    mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience wrapper over :func:`compton_scatter_rows` that fetches
+    the per-lane shell rows (shell-major) and S(E,pi) from the tables."""
+    s0 = tables.compton_s0[jnp.maximum(ebin, 0) * tables.n_mats + mat]
+    f_rows = tables.shell_f[mat].T
+    ui_rows = tables.shell_ui[mat].T
+    j0_rows = tables.shell_j0[mat].T
+    return compton_scatter_rows(key, energy, s0, f_rows, ui_rows, j0_rows, mask)
+
+
+def rayleigh_scatter_rows(
+    key: jax.Array,
+    energy: jnp.ndarray,
+    mat: jnp.ndarray,
+    pmax: jnp.ndarray,
     tables: DeviceTables,
     mask: jnp.ndarray,
 ) -> jnp.ndarray:
@@ -219,19 +255,27 @@ def rayleigh_scatter(
     RITA rational inverse-transform sampling of the squared molecular form
     factor with Thomson (1+cos^2)/2 angular rejection; energies with
     negligible momentum transfer use pure Thomson sampling.
-    """
+
+    The per-material 128-point RITA tables are fetched as whole rows with
+    four row-gathers; each rejection trip then finds its CDF interval with a
+    vectorised compare-count (identical result to the reference's seeded
+    binary search, kernel :1197-1245) and reads the interval endpoints with
+    free one-hot selects - no gathers inside the trip loop."""
     n = energy.shape[0]
-    n_mats = tables.n_mats
 
     xmax = energy * jnp.float32(RAYLEIGH_X_FACTOR)
-    base = mat * NP_RAYLEIGH
-    x_last = tables.rita_x[base + (NP_RAYLEIGH - 1)]
+    # whole per-material RITA rows: [n, 128] each
+    xr = tables.rita_x.reshape(-1, NP_RAYLEIGH)[mat]
+    pr = tables.rita_p.reshape(-1, NP_RAYLEIGH)[mat]
+    ar = tables.rita_a.reshape(-1, NP_RAYLEIGH)[mat]
+    br = tables.rita_b.reshape(-1, NP_RAYLEIGH)[mat]
+    x_last = xr[:, NP_RAYLEIGH - 1]
     x2max = jnp.minimum(xmax * xmax, x_last)
-    # pmax for the next energy bin, as in the reference (kernel :336)
-    pmax = tables.rayleigh_pmax[(ebin + 1) * n_mats + mat]
     small = xmax < 0.01
 
-    u_ray = uniform_open(key, (RAYLEIGH_TRIPS, 3, n))
+    iota = jnp.arange(NP_RAYLEIGH, dtype=jnp.int32)[None, :]
+
+    ray_keys = jax.random.split(key, RAYLEIGH_TRIPS)
 
     def trip(i, carry, u1, u2, u3):
         costh, accepted = carry
@@ -240,26 +284,21 @@ def rayleigh_scatter(
         costh_t = 1.0 - 2.0 * u1
         accept_t = u2 <= (costh_t * costh_t + 1.0) * 0.5
 
-        # --- RITA branch ---
+        # --- RITA branch: interval via compare-count, values via one-hot --
         ru = u1 * pmax
-        itn = jnp.clip((ru * (NP_RAYLEIGH - 1)).astype(jnp.int32), 0, NP_RAYLEIGH - 2)
-        lo = tables.rita_itl[base + itn]  # 1-based
-        hi = tables.rita_itu[base + itn]
-
-        for _ in range(7):  # unrolled binary search (2^7 = NP_RAYLEIGH)
-            mid = (lo + hi) >> 1
-            p_mid = tables.rita_p[base + mid - 1]
-            go_up = ru > p_mid
-            narrow = (hi - lo) > 1
-            lo = jnp.where(narrow & go_up, mid, lo)
-            hi = jnp.where(narrow & ~go_up, mid, hi)
-        idx = base + lo - 1  # 0-based index of the interval start
-        p_i = tables.rita_p[idx]
-        p_n = tables.rita_p[idx + 1]
-        x_i = tables.rita_x[idx]
-        x_n = tables.rita_x[idx + 1]
-        a_i = tables.rita_a[idx]
-        b_i = tables.rita_b[idx]
+        idx = jnp.clip(
+            jnp.sum((pr <= ru[:, None]).astype(jnp.int32), axis=1) - 1,
+            0,
+            NP_RAYLEIGH - 2,
+        )
+        oh = (iota == idx[:, None]).astype(jnp.float32)
+        oh_next = (iota == (idx + 1)[:, None]).astype(jnp.float32)
+        p_i = jnp.sum(pr * oh, axis=1)
+        p_n = jnp.sum(pr * oh_next, axis=1)
+        x_i = jnp.sum(xr * oh, axis=1)
+        x_n = jnp.sum(xr * oh_next, axis=1)
+        a_i = jnp.sum(ar * oh, axis=1)
+        b_i = jnp.sum(br * oh, axis=1)
         rr = ru - p_i
         d = p_n - p_i
         xx_interp = x_i + (a_i + 1.0 + b_i) * d * rr / (
@@ -277,9 +316,23 @@ def rayleigh_scatter(
 
     carry = (jnp.ones((n,), jnp.float32), ~mask)
     for i in range(RAYLEIGH_TRIPS):
-        carry = trip(i, carry, u_ray[i, 0], u_ray[i, 1], u_ray[i, 2])
+        carry = trip(i, carry, *uniform_open(ray_keys[i], (3, n)))
     costh, _ = carry
     return jnp.where(mask, costh, 1.0)
+
+
+def rayleigh_scatter(
+    key: jax.Array,
+    energy: jnp.ndarray,
+    mat: jnp.ndarray,
+    ebin: jnp.ndarray,
+    tables: DeviceTables,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Convenience wrapper over :func:`rayleigh_scatter_rows` that fetches
+    pmax for the next energy bin, as in the reference (kernel :336)."""
+    pmax = tables.rayleigh_pmax[(ebin + 1) * tables.n_mats + mat]
+    return rayleigh_scatter_rows(key, energy, mat, pmax, tables, mask)
 
 
 def rotate_direction(
@@ -348,10 +401,11 @@ def sample_source_direction(
     field: |w/v| <= tan(theta/2); reference kernel :649-667).
 
     Returns (dx, dy, dz, accepted). Lanes with accepted=False hold the last
-    proposal and should not be used (the caller retries next iteration).
+    proposal and should not be used (the caller retries next iteration, so
+    the rejection stays unbiased).
     """
 
-    u_src = uniform_open(key, (SOURCE_DIR_TRIPS, 2, n))
+    src_keys = jax.random.split(key, SOURCE_DIR_TRIPS)
 
     def trip(i, carry, u1, u2):
         dx, dy, dz, accepted = carry
@@ -370,7 +424,7 @@ def sample_source_direction(
     zeros = jnp.zeros((n,), jnp.float32)
     carry = (zeros, jnp.ones((n,), jnp.float32), zeros, jnp.zeros((n,), bool))
     for i in range(SOURCE_DIR_TRIPS):
-        carry = trip(i, carry, u_src[i, 0], u_src[i, 1])
+        carry = trip(i, carry, *uniform_open(src_keys[i], (2, n)))
     dx, dy, dz, accepted = carry
 
     # rotate the +Y-frame sample into the beam direction
@@ -385,16 +439,29 @@ def sample_spectrum_energy(
     key: jax.Array, tables: DeviceTables, n: int
 ) -> jnp.ndarray:
     """Walker-alias sampling of the source spectrum with intra-bin linear
-    interpolation (reference kernel :628-644)."""
+    interpolation (reference kernel :628-644).
+
+    The per-bin data (cutoff, own bin edges, alias bin edges) is packed into
+    one row so the sampler costs a single row-gather."""
     u1, u2 = uniforms_open(key, 2, (n,))
+    e_lo = tables.spectrum_energies[:-1]
+    de = tables.spectrum_energies[1:] - e_lo
+    rows = jnp.stack(
+        [
+            tables.spectrum_cutoff,
+            e_lo,
+            de,
+            e_lo[tables.spectrum_alias],
+            de[tables.spectrum_alias],
+        ],
+        axis=1,
+    )  # [n_spec_bins, 5], assembled at trace time
+
     rn = u1 * tables.n_spectrum_bins
     int_part = jnp.clip(rn.astype(jnp.int32), 0, tables.n_spectrum_bins - 1)
     frac = rn - int_part.astype(jnp.float32)
-    bins = jnp.where(
-        frac < tables.spectrum_cutoff[int_part],
-        int_part,
-        tables.spectrum_alias[int_part],
-    )
-    e_lo = tables.spectrum_energies[bins]
-    e_hi = tables.spectrum_energies[bins + 1]
-    return e_lo + u2 * (e_hi - e_lo)
+    row = rows[int_part]
+    use_alias = frac >= row[:, 0]
+    e_lo_sel = jnp.where(use_alias, row[:, 3], row[:, 1])
+    de_sel = jnp.where(use_alias, row[:, 4], row[:, 2])
+    return e_lo_sel + u2 * de_sel

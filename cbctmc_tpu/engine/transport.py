@@ -7,19 +7,55 @@ per history, a fixed batch of photon *lanes* is stepped in lockstep inside a
 with fresh source photons until the history budget is exhausted, so vector
 utilisation stays near 100% regardless of path-length stragglers.
 
+Performance model (engine v2): on TPU, every gather/scatter op costs a few
+nanoseconds *per lane index* regardless of the table size or row width,
+while element-wise/VPU work and small one-hot selects are effectively free.
+The engine is therefore organised to minimise the NUMBER of gather ops per
+retired history:
+
+- the voxel grid is packed into ONE u32 per voxel
+  (material | air-clearance-level | 24-bit fixed-point density), so each
+  Woodcock flight performs exactly one gather,
+- all energy-indexed physics tables (total/Compton/Rayleigh inverse-MFP
+  linearisation, S(E,pi), Rayleigh pmax, Woodcock majorant) are fetched with
+  ONE wide row-gather per outer iteration (the photon energy is constant
+  between real events), and the 22-material axis is resolved per flight with
+  a free VPU one-hot select,
+- Compton shell tables are fetched with a single one-hot matmul on the MXU,
+- Rayleigh RITA tables are fetched as whole per-material rows once per event
+  batch; the interval search becomes a vectorised compare-count and the
+  interval values one-hot selects (no per-trip gathers),
+- air is crossed analytically: outside the tight bounding box of all
+  non-air voxels one exponential flight against the air majorant reaches
+  the box (or the detector) directly, and inside the volume a conservative
+  "clearance pyramid" (each voxel stores the largest k such that the
+  surrounding (2^k)-voxel box is pure air) lets flights through air pockets
+  use the air majorant with steps clamped to the clearance radius. Clamped
+  steps are null events - standard delta-tracking with a piecewise
+  majorant, unbiased by the memoryless property.
+
+Lane scheduling: a lane whose photon escapes mid-iteration stashes the
+detector record and immediately adopts a pre-sampled candidate photon (its
+energy-row data is prefetched from a second, independent pool - sharing the
+refill pool starves adoption), so flight slots stay busy instead of idling
+until the next refill.
+
 Each outer iteration:
 
 1. refills dead lanes from the fan-beam source (energy via Walker alias,
-   square-field direction rejection, translation to the bbox wall),
-2. runs a bounded inner loop of Woodcock virtual events — a single gather
-   of (material, density) + the current material's total inverse MFP per
-   flight — until every live lane has escaped or reached a *real* event
-   (the analogue of the reference's v1.3 "virtual interaction loop"),
-3. tallies escaped lanes into the 4 scatter-separated detector images with a
-   masked scatter-add (replacing atomicAdd),
-4. resolves real events: Compton (PENELOPE GCOa) / Rayleigh (RITA) /
-   photoelectric, by cumulative probability of the interpolated partial
-   inverse MFPs.
+   square-field direction rejection, translation to the bbox wall) and
+   pre-samples the adoption candidates,
+2. gathers the per-lane energy-bin table rows (lane + candidate pools) and
+   derives the per-material inverse MFPs and majorants,
+3. runs a bounded inner loop of Woodcock virtual events - a single packed
+   voxel gather per flight - with escape-stash-adopt handling inline (the
+   analogue of the reference's v1.3 "virtual interaction loop"),
+4. tallies the stashed records and parked second-escape lanes into the 4
+   scatter-separated detector images with masked scatter-adds (replacing
+   atomicAdd),
+5. resolves real events on a stream-compacted batch: Compton (PENELOPE
+   GCOa) / Rayleigh (RITA) / photoelectric, by cumulative probability of
+   the interpolated partial inverse MFPs.
 
 Detector images accumulate energy in eV (float32); the caller normalises to
 eV/cm^2/history (reference: report_image, MC-GPU_v1.3.cu:2860-2861).
@@ -43,39 +79,162 @@ from cbctmc_tpu.engine.tables import DeviceTables, WoodcockTable
 from cbctmc_tpu.physics.constants import EPS_SOURCE, TALLY_MIN_COS_ANGLE, TWO_PI
 
 NEG_INF = jnp.float32(-1.0e9)
+BIG = jnp.float32(1.0e30)
 
 # scatter states (match the reference image ordering)
 PRIMARY, COMPTON, RAYLEIGH, MULTI = 0, 1, 2, 3
+
+# packed voxel word layout
+_MAT_SHIFT = 27  # 5 bits material
+_AIR_SHIFT = 24  # 3 bits air-clearance level k (safe box half-size 2^k)
+_DEN_MASK = (1 << 24) - 1  # 24-bit fixed-point density
+_MAX_AIR_LEVEL = 7
 
 
 class VoxelVolume(NamedTuple):
     """Voxelised scene in engine units: bbox corner at the origin, voxel
     (i,j,k) spans [i*dx,(i+1)*dx) x ... Flat index = x + y*nx + z*nx*ny
-    (reference: locate_voxel, kernel :1033-1065)."""
+    (reference: locate_voxel, kernel :1033-1065).
 
-    material: jnp.ndarray  # i32 [nx*ny*nz], 0-based material index
-    density: jnp.ndarray  # f32 [nx*ny*nz] [g/cm^3]
+    The per-voxel word packs (material index | air-clearance level |
+    density) so the hot Woodcock loop performs one gather per flight."""
+
+    packed: jnp.ndarray  # u32 [nx*ny*nz]
     shape: Tuple[int, int, int]  # (nx, ny, nz) static
     voxel_size: jnp.ndarray  # f32[3] [cm]
     bbox: jnp.ndarray  # f32[3] [cm]
+    den_scale: jnp.ndarray  # f32 scalar: density = q * den_scale
+    air_den_max: jnp.ndarray  # f32 scalar: max quantised air density
+    voxmin: jnp.ndarray  # f32 scalar: min voxel dimension [cm]
+    # tight axis-aligned bounding box of all non-air voxels [cm]: outside
+    # this box the scene is pure air, so flights sample one exponential
+    # against the analytic air majorant instead of hopping the clearance
+    # pyramid (entry, exit and miss paths cost ~1 flight each)
+    nonair_lo: jnp.ndarray  # f32[3]
+    nonair_hi: jnp.ndarray  # f32[3]
+
+    @property
+    def material(self) -> jnp.ndarray:  # i32 [n_voxels], 0-based
+        return (self.packed >> _MAT_SHIFT).astype(jnp.int32)
+
+    @property
+    def density(self) -> jnp.ndarray:  # f32 [n_voxels] [g/cm^3]
+        return (self.packed & _DEN_MASK).astype(jnp.float32) * self.den_scale
+
+
+def _air_clearance_field(nonair: np.ndarray, max_level: int) -> np.ndarray:
+    """Per-voxel air-clearance level: the largest k <= max_level such that
+    every voxel u with |u - v|_inf <= 2^k is air (0 if the 3^3 neighbourhood
+    already contains non-air).
+
+    Computed with a block max-pyramid: at level k the volume is reduced to
+    2^k-voxel blocks; a voxel is safe at level k when its block and all 26
+    neighbouring blocks are air-only (the 3x3x3 block region spans at least
+    2^k voxels beyond the centre block in every direction, so it covers the
+    |.|_inf <= 2^k box around ANY voxel of the centre block)."""
+    k_field = np.zeros(nonair.shape, np.uint8)
+    blocked = nonair.astype(np.uint8)
+    for level in range(1, max_level + 1):
+        # 2x block-reduce (pad to even with air=0)
+        s = blocked.shape
+        padded = np.zeros(
+            ((s[0] + 1) // 2 * 2, (s[1] + 1) // 2 * 2, (s[2] + 1) // 2 * 2),
+            np.uint8,
+        )
+        padded[: s[0], : s[1], : s[2]] = blocked
+        p = padded.reshape(
+            padded.shape[0] // 2, 2, padded.shape[1] // 2, 2, padded.shape[2] // 2, 2
+        )
+        blocked = p.max(axis=(1, 3, 5))
+        # 3^3 neighbour max (edges padded with air: outside the volume the
+        # photon escapes anyway)
+        nb = blocked.copy()
+        for axis in range(3):
+            shifted_p = np.zeros_like(nb)
+            shifted_m = np.zeros_like(nb)
+            src = [slice(None)] * 3
+            dst = [slice(None)] * 3
+            src[axis] = slice(0, -1)
+            dst[axis] = slice(1, None)
+            shifted_p[tuple(dst)] = nb[tuple(src)]
+            shifted_m[tuple(src)] = nb[tuple(dst)]
+            nb = np.maximum(nb, np.maximum(shifted_p, shifted_m))
+        safe = nb == 0
+        if not safe.any():
+            break
+        # broadcast the level-k safety back to the fine grid
+        fine = np.repeat(
+            np.repeat(np.repeat(safe, 1 << level, 0), 1 << level, 1), 1 << level, 2
+        )[: nonair.shape[0], : nonair.shape[1], : nonair.shape[2]]
+        k_field[fine] = level
+    return k_field
 
 
 def make_voxel_volume(
-    materials_0based: np.ndarray, densities: np.ndarray, voxel_size_cm
+    materials_0based: np.ndarray,
+    densities: np.ndarray,
+    voxel_size_cm,
+    air_material: int = 0,
+    max_air_level: int = _MAX_AIR_LEVEL,
 ) -> VoxelVolume:
     nx, ny, nz = materials_0based.shape
     voxel_size = np.asarray(voxel_size_cm, dtype=np.float32)
     bbox = voxel_size * np.array([nx, ny, nz], np.float32)
+
+    den = np.asarray(densities, np.float32)
+    den_max = float(max(den.max(), 1e-6))
+    den_scale = den_max / float(_DEN_MASK)
+    q = np.clip(np.rint(den / den_scale), 0, _DEN_MASK).astype(np.uint32)
+
+    mats = materials_0based.astype(np.uint32)
+    is_air = materials_0based == air_material
+    if is_air.any():
+        air_den_max = float(q[is_air].max()) * den_scale
+        k_field = _air_clearance_field(~is_air, max_air_level)
+    else:
+        air_den_max = den_scale  # never used: clearance field stays 0
+        k_field = np.zeros(materials_0based.shape, np.uint8)
+
+    # tight non-air bounding box in cm (empty box when the scene is all air)
+    nonair = ~is_air
+    if nonair.any():
+        lo, hi = [], []
+        for axis in range(3):
+            proj = nonair.any(axis=tuple(a for a in range(3) if a != axis))
+            idx = np.nonzero(proj)[0]
+            lo.append(idx[0] * voxel_size[axis])
+            hi.append((idx[-1] + 1) * voxel_size[axis])
+        nonair_lo = np.array(lo, np.float32)
+        nonair_hi = np.array(hi, np.float32)
+    else:
+        nonair_lo = bbox.astype(np.float32) + 1.0
+        nonair_hi = bbox.astype(np.float32) + 1.0  # lo >= hi: every ray misses
+
+    packed = (
+        (mats << _MAT_SHIFT)
+        | (k_field.astype(np.uint32) << _AIR_SHIFT)
+        | q
+    )
     # flatten with x fastest: flat = x + y*nx + z*nx*ny
-    flat_mat = np.transpose(materials_0based, (2, 1, 0)).reshape(-1)
-    flat_den = np.transpose(densities, (2, 1, 0)).reshape(-1)
+    flat = np.transpose(packed, (2, 1, 0)).reshape(-1)
     return VoxelVolume(
-        material=jnp.asarray(flat_mat.astype(np.int32)),
-        density=jnp.asarray(flat_den.astype(np.float32)),
+        packed=jnp.asarray(flat),
         shape=(nx, ny, nz),
         voxel_size=jnp.asarray(voxel_size),
         bbox=jnp.asarray(bbox),
+        den_scale=jnp.float32(den_scale),
+        air_den_max=jnp.float32(max(air_den_max, 1e-12)),
+        voxmin=jnp.float32(float(voxel_size.min())),
+        nonair_lo=jnp.asarray(nonair_lo),
+        nonair_hi=jnp.asarray(nonair_hi),
     )
+
+
+def _unpack(word: jnp.ndarray, den_scale: jnp.ndarray):
+    mat = (word >> _MAT_SHIFT).astype(jnp.int32)
+    k_air = ((word >> _AIR_SHIFT) & 7).astype(jnp.int32)
+    den = (word & _DEN_MASK).astype(jnp.float32) * den_scale
+    return mat, k_air, den
 
 
 def _move_to_bbox(px, py, pz, dx, dy, dz, bbox):
@@ -171,20 +330,87 @@ class EngineConfig:
     n_lanes: int = 1 << 17  # photon lanes per device
     max_virtual_trips: int = 16  # inner Woodcock flights per outer iteration
     max_outer_iterations: int = 1 << 30  # safety cap
-    # Compton/Rayleigh events are compacted into a batch of
+    # Rayleigh events are compacted into a batch of
     # n_lanes * event_fraction lanes per outer iteration; events beyond the
-    # budget simply stay pending (the photon waits at its interaction site),
-    # which keeps the expensive shell/RITA sampling off the full lane width.
+    # budget simply stay pending (the photon waits at its interaction site).
+    # Compton runs full-width masked (its tables arrive via one MXU matmul).
     event_fraction: float = 0.25
     # tally energy deposited per voxel and per material (KERMA approximation,
     # as the reference: electrons are not transported;
     # MC-GPU_kernel_v1.3.cu:391-443, 1522-1563). Adds a voxel-sized f32
     # accumulator to the carry.
     tally_dose: bool = False
+    # use the air-clearance fast path (disable for A/B physics validation)
+    air_skip: bool = True
+    # counter-based PRNG for the bulk uniforms: "rbg" (XLA RngBitGenerator,
+    # fastest on TPU) or None to inherit the caller's key implementation
+    # (threefry by default - bit-reproducible across backends)
+    rng_impl: str | None = "rbg"
 
     @property
     def event_lanes(self) -> int:
         return max(1024, int(self.n_lanes * self.event_fraction))
+
+    @property
+    def rayleigh_lanes(self) -> int:
+        # Rayleigh is ~an order of magnitude rarer than Compton
+        return max(1024, int(self.n_lanes * self.event_fraction / 8))
+
+
+def _flight_col_table(tables: DeviceTables, woodcock: WoodcockTable) -> jnp.ndarray:
+    """Per-energy-bin flight table [n_bins, 2*n_mats + 2]: the total
+    inverse-MFP linearisation (a, b) for every material plus the Woodcock
+    majorant (a, b). One row-gather per outer iteration replaces every
+    energy-indexed lookup in the Woodcock loop (the photon energy only
+    changes at real events). Assembled from the device tables at trace time
+    (cheap, once per compiled call)."""
+    n_mats = tables.n_mats
+    n_bins = woodcock.a.shape[0]
+    tot = tables.mfp_total_ab.reshape(n_bins, n_mats, 2)
+    return jnp.concatenate(
+        [tot[:, :, 0], tot[:, :, 1], woodcock.a[:, None], woodcock.b[:, None]],
+        axis=1,
+    )
+
+
+def _event_col_table(tables: DeviceTables) -> jnp.ndarray:
+    """Per-energy-bin event table [n_bins, 6*n_mats]: Compton and Rayleigh
+    inverse-MFP linearisation (a, b), S(E,pi) and pmax(bin+1) for every
+    material. Gathered once per compacted event batch."""
+    n_mats = tables.n_mats
+    cr = tables.mfp_cr_ab.reshape(-1, n_mats, 4)
+    n_bins = cr.shape[0]
+    s0 = tables.compton_s0.reshape(n_bins, n_mats)
+    pmax = tables.rayleigh_pmax.reshape(n_bins, n_mats)
+    pmax_next = jnp.concatenate([pmax[1:], pmax[-1:]], axis=0)
+    return jnp.concatenate(
+        [cr[:, :, 0], cr[:, :, 1], cr[:, :, 2], cr[:, :, 3], s0, pmax_next],
+        axis=1,
+    )
+
+
+def _shell_cat_table(tables: DeviceTables) -> jnp.ndarray:
+    """Concatenated Compton shell table [n_mats, 3*max_shells] with the
+    +inf shell padding replaced by a large finite value so the one-hot MXU
+    gather stays NaN-free (0 * inf = nan)."""
+    ui = jnp.where(jnp.isinf(tables.shell_ui), 1.0e30, tables.shell_ui)
+    return jnp.concatenate([tables.shell_f, ui, tables.shell_j0], axis=1)
+
+
+def _compact_indices(mask: jnp.ndarray, budget: int, fill: int):
+    """Stream-compact the True lanes of ``mask`` into an index batch of
+    static size ``budget`` (cumsum + one scatter; jnp.nonzero lowers to a
+    much slower path on TPU). Lanes beyond the budget stay unselected.
+    Returns (idx [budget] with ``fill`` marking empty slots, order)."""
+    n = mask.shape[0]
+    order = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = jnp.where(mask & (order < budget), order, budget)
+    idx = (
+        jnp.full((budget + 1,), fill, jnp.int32)
+        .at[pos]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:budget]
+    )
+    return idx, order
 
 
 @partial(
@@ -211,21 +437,52 @@ def run_projection(
     When ``config.tally_dose`` or ``return_stats`` is set, returns
     ``(image, extras)`` instead, with extras containing ``voxel_dose``
     (f32[n_voxels], eV), ``material_dose`` (f32[n_materials, 2]: eV and
-    eV^2 for uncertainty) and/or ``iterations``/``remaining`` counters."""
+    eV^2 for uncertainty) and/or ``iterations``/``remaining`` counters.
+
+    Lane management: every iteration pre-samples one *candidate* photon per
+    lane; a lane whose photon escapes mid-iteration stashes its detector
+    record and immediately adopts the candidate (its own energy-bin table
+    row was prefetched alongside), so flight slots stay busy instead of
+    idling until the next refill. The stash is depth 1: a second escape in
+    the same iteration parks the lane for the regular end-of-iteration
+    tally."""
     n = config.n_lanes
     n_mats = tables.n_mats
     npix = n_pixels_x * n_pixels_z
+    n_voxels = volume.packed.shape[0]
+    air_mat = 0  # density-sorted registry: air is always material 0
+
+    flight_cols = _flight_col_table(tables, woodcock)
+    event_cols = _event_col_table(tables)
+    shell_cat = _shell_cat_table(tables)
+    s_max = tables.max_shells
+    n_bins = flight_cols.shape[0]
+    mat_iota = jnp.arange(n_mats, dtype=jnp.int32)[None, :]
+    mat_iota_col = jnp.arange(n_mats, dtype=jnp.int32)[:, None]
+
+    if config.rng_impl is not None:
+        # derive a fast counter-based key for the bulk uniforms from the
+        # caller's key (sequence splitting as in the reference's RANECU
+        # leap-frog, MC-GPU_kernel_v1.3.cu:812-894, but counter-based)
+        seed = jax.random.bits(key, (), jnp.uint32)
+        key = jax.random.key(seed, impl=config.rng_impl)
 
     def ebin_of(energy):
         return jnp.clip(
             ((energy - tables.e0) * tables.ide).astype(jnp.int32),
             -1,
-            woodcock.a.shape[0] - 1,
+            n_bins - 1,
         )
 
-    def woodcock_mfp(ebin, energy):
-        safe_bin = jnp.maximum(ebin, 0)
-        return woodcock.a[safe_bin] + energy * woodcock.b[safe_bin]
+    def flight_derived(rows, energy):
+        """Lane-major per-material total inverse MFP [n_mats, n] plus the
+        Woodcock and air majorant MFPs [n] from a gathered flight row."""
+        inv22 = rows[:, :n_mats] + energy[:, None] * rows[:, n_mats : 2 * n_mats]
+        inv_t = inv22.T  # lane-major: selects read full 8x128 tiles
+        mfp_wc = rows[:, 2 * n_mats] + energy * rows[:, 2 * n_mats + 1]
+        inv_air = jnp.maximum(inv_t[air_mat], 1e-30)
+        mfp_air = 1.0 / (volume.air_den_max * inv_air)
+        return inv_t, mfp_wc, mfp_air
 
     zeros = jnp.zeros((n,), jnp.float32)
 
@@ -234,12 +491,13 @@ def run_projection(
         dx=zeros, dy=jnp.ones((n,), jnp.float32), dz=zeros,
         energy=jnp.full((n,), 1.0e4, jnp.float32),
         ebin=jnp.zeros((n,), jnp.int32),
-        mfp_wc=jnp.ones((n,), jnp.float32),
         scatter=jnp.zeros((n,), jnp.int32),
         alive=jnp.zeros((n,), bool),
         # pending real event: lane paused at an interaction site
         pending=jnp.zeros((n,), bool),
+        k_air=jnp.zeros((n,), jnp.int32),
         vox=jnp.zeros((n,), jnp.int32),
+        mat_evt=jnp.zeros((n,), jnp.int32),
         randno=zeros,  # the uniform that decided "real", reused for branching
         prob_delta=zeros,
         mfp_density=zeros,
@@ -248,8 +506,11 @@ def run_projection(
         key=key,
         it=jnp.int32(0),
     )
+    if return_stats:
+        state["counts"] = jnp.zeros((10,), jnp.float64)  # stash, final, compton,
+        # rayleigh, photo, refills, adoptions, flights-active
     if config.tally_dose:
-        state["voxel_dose"] = jnp.zeros_like(volume.density)
+        state["voxel_dose"] = jnp.zeros((n_voxels,), jnp.float32)
         state["material_dose"] = jnp.zeros((n_mats, 2), jnp.float32)
 
     def cond(s):
@@ -258,140 +519,326 @@ def run_projection(
         )
 
     def body(s):
-        key, k_src_e, k_src_d, k_step, k_comp, k_ray, k_phi = jax.random.split(
-            s["key"], 7
-        )
+        (key, k_src_e, k_src_d, k_cand_e, k_cand_d, k_step, k_comp, k_ray,
+         k_phi) = jax.random.split(s["key"], 9)
 
-        # ---------------- 1. refill dead lanes ---------------------------
+        # ---------------- 1. refill dead lanes + candidate pool -----------
         dead = ~s["alive"]
-        order = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
-        want = dead & (order < s["remaining"])
 
-        e_new = samplers.sample_spectrum_energy(k_src_e, tables, n)
-        ndx, ndy, ndz, dir_ok = samplers.sample_source_direction(k_src_d, source, n)
-        refill = want & dir_ok  # unsampled lanes retry next iteration
-        bpx, bpy, bpz, _ = _move_to_bbox(
-            source.position[0] * jnp.ones((n,), jnp.float32),
-            source.position[1] * jnp.ones((n,), jnp.float32),
-            source.position[2] * jnp.ones((n,), jnp.float32),
-            ndx, ndy, ndz, volume.bbox,
+        def _budget_all(dead):
+            return dead
+
+        def _budget_ordered(dead):
+            order = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+            return dead & (order < s["remaining"])
+
+        # the cumsum ordering only matters for the last < n_lanes histories
+        want = jax.lax.cond(
+            s["remaining"] >= n, _budget_all, _budget_ordered, dead
         )
+
+        def sample_photons(ke, kd):
+            e = samplers.sample_spectrum_energy(ke, tables, n)
+            sdx, sdy, sdz, ok = samplers.sample_source_direction(kd, source, n)
+            sx, sy, sz, _ = _move_to_bbox(
+                source.position[0] * jnp.ones((n,), jnp.float32),
+                source.position[1] * jnp.ones((n,), jnp.float32),
+                source.position[2] * jnp.ones((n,), jnp.float32),
+                sdx, sdy, sdz, volume.bbox,
+            )
+            return e, (sdx, sdy, sdz), (sx, sy, sz), ok
+
+        # two independent photon pools: one fills lanes dead at the
+        # iteration boundary, the other feeds mid-iteration adoption (a
+        # shared pool starves adoption: every refilled lane loses its
+        # candidate, killing lane utilisation)
+        e_ref, rdir, rpos, ref_ok = sample_photons(k_src_e, k_src_d)
+        e_cand, (ndx, ndy, ndz), (bpx, bpy, bpz), dir_ok = sample_photons(
+            k_cand_e, k_cand_d
+        )
+        ebin_cand = ebin_of(e_cand)
+        refill = want & ref_ok  # unsampled lanes retry next iteration
         n_started = jnp.sum(refill.astype(jnp.int32))
 
-        px = jnp.where(refill, bpx, s["px"])
-        py = jnp.where(refill, bpy, s["py"])
-        pz = jnp.where(refill, bpz, s["pz"])
-        dx = jnp.where(refill, ndx, s["dx"])
-        dy = jnp.where(refill, ndy, s["dy"])
-        dz = jnp.where(refill, ndz, s["dz"])
-        energy = jnp.where(refill, e_new, s["energy"])
-        ebin = jnp.where(refill, ebin_of(e_new), s["ebin"])
-        mfp_wc = jnp.where(refill, woodcock_mfp(ebin_of(e_new), e_new), s["mfp_wc"])
+        px = jnp.where(refill, rpos[0], s["px"])
+        py = jnp.where(refill, rpos[1], s["py"])
+        pz = jnp.where(refill, rpos[2], s["pz"])
+        dx = jnp.where(refill, rdir[0], s["dx"])
+        dy = jnp.where(refill, rdir[1], s["dy"])
+        dz = jnp.where(refill, rdir[2], s["dz"])
+        energy = jnp.where(refill, e_ref, s["energy"])
+        ebin = jnp.where(refill, ebin_of(e_ref), s["ebin"])
         scatter = jnp.where(refill, 0, s["scatter"])
         alive = s["alive"] | refill
         pending = s["pending"] & ~refill
         remaining = s["remaining"] - n_started
+        # refilled lanes enter at the volume wall, i.e. (almost always)
+        # outside the non-air box: the analytic-air flight branch covers the
+        # crossing, so no clearance lookup is needed at the entry point
+        k_air = jnp.where(refill, 0, s["k_air"]) if config.air_skip else (
+            jnp.zeros((n,), jnp.int32)
+        )
 
-        # ---------------- 2. Woodcock virtual-event flights --------------
-        u_flight = uniform_open(k_step, (config.max_virtual_trips, 2, n))
+        # each lane whose photon has not been consumed by the refill holds a
+        # pre-sampled candidate for mid-iteration adoption; adoption is only
+        # allowed while the budget cannot be overdrawn (remaining >= n after
+        # refill caps the <= n adoptions per iteration)
+        cand_free0 = dir_ok
+        bulk = remaining >= n
 
-        def flight(i, fs, u_step, u_int):
-            px, py, pz, pending, escaped, vox, randno, prob_delta, mfp_density = fs
-            active = alive & ~pending & ~escaped
-            step = -mfp_wc * jnp.log(u_step)
-            npx_ = jnp.where(active, px + step * dx, px)
-            npy_ = jnp.where(active, py + step * dy, py)
-            npz_ = jnp.where(active, pz + step * dz, pz)
-            nvox, in_bbox = _locate_voxel(npx_, npy_, npz_, volume)
+        # ---------------- 2. per-iteration energy-row gathers -------------
+        rows = flight_cols[jnp.clip(ebin, 0, n_bins - 1)]
+        inv_t_main, mfp_wc_main, mfp_air_main = flight_derived(rows, energy)
+        rows_c = flight_cols[jnp.clip(ebin_cand, 0, n_bins - 1)]
+        inv_t_cand, mfp_wc_cand, mfp_air_cand = flight_derived(rows_c, e_cand)
 
-            mat = volume.material[nvox]
-            den = volume.density[nvox]
-            row = tables.mfp_total_ab[jnp.maximum(ebin, 0) * n_mats + mat]
-            inv_mfp_tot = row[:, 0] + energy * row[:, 1]
-            mfp_den = mfp_wc * den
-            p_delta = 1.0 - mfp_den * inv_mfp_tot
+        # ---------------- 3. Woodcock virtual-event flights --------------
+        flight_keys = jax.random.split(k_step, config.max_virtual_trips)
+        active_slots = []  # per-flight utilization (unrolled-loop closure)
+
+        def flight(fs, u_step, u_int):
+            (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
+             escaped, k_air, use_cand, vox, mat_evt, randno,
+             prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
+             cand_free, remaining) = fs
+            active = alive & ~pending
+            # adopted lanes read the candidate-pool tables; selecting between
+            # the two static pools per flight avoids carrying a merged
+            # [n_mats, n] array (whose adoption-merge chain XLA would
+            # rematerialise per flight - an O(T^2) blowup)
+            mfp_wc = jnp.where(use_cand, mfp_wc_cand, mfp_wc_main)
+            mfp_air = jnp.where(use_cand, mfp_air_cand, mfp_air_main)
+            if return_stats:
+                active_slots.append(jnp.sum(active.astype(jnp.int32)))
+
+            if config.air_skip:
+                # outside the non-air box: pure air up to the box face (or
+                # forever if the ray misses), so one exponential flight with
+                # the air majorant, clamped at the box entry (null event)
+                lo, hi = volume.nonair_lo, volume.nonair_hi
+                outside = (
+                    (px < lo[0]) | (px > hi[0])
+                    | (py < lo[1]) | (py > hi[1])
+                    | (pz < lo[2]) | (pz > hi[2])
+                )
+                inv_d = (
+                    1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, 1e-12),
+                    1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12),
+                    1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12),
+                )
+                tmin = jnp.full((n,), -BIG)
+                tmax = jnp.full((n,), BIG)
+                for a, p in enumerate((px, py, pz)):
+                    t1 = (lo[a] - p) * inv_d[a]
+                    t2 = (hi[a] - p) * inv_d[a]
+                    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+                    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+                t_box = jnp.where((tmax >= tmin) & (tmax > 0.0), tmin, BIG)
+                t_box = jnp.maximum(t_box, 0.0) + 1.0e-4  # nudge past the face
+
+                in_air = k_air >= 1
+                mfp_samp = jnp.where(outside | in_air, mfp_air, mfp_wc)
+                bound = jnp.where(
+                    outside,
+                    t_box,
+                    jnp.where(
+                        in_air,
+                        ((jnp.left_shift(1, k_air) - 1).astype(jnp.float32))
+                        * volume.voxmin,
+                        BIG,
+                    ),
+                )
+            else:
+                mfp_samp = mfp_wc
+                bound = BIG
+
+            raw = -mfp_samp * jnp.log(u_step)
+            step = jnp.minimum(raw, bound)
+            clamped = raw > bound
+
+            px = jnp.where(active, px + step * dx, px)
+            py = jnp.where(active, py + step * dy, py)
+            pz = jnp.where(active, pz + step * dz, pz)
+            nvox, in_bbox = _locate_voxel(px, py, pz, volume)
+
+            word = volume.packed[jnp.clip(nvox, 0, n_voxels - 1)]  # THE gather
+            mat, k_new, den = _unpack(word, volume.den_scale)
+            onehot_col = mat[None, :] == mat_iota_col
+            inv_tot = jnp.where(
+                use_cand,
+                jnp.sum(jnp.where(onehot_col, inv_t_cand, 0.0), axis=0),
+                jnp.sum(jnp.where(onehot_col, inv_t_main, 0.0), axis=0),
+            )
+            mfp_den = mfp_samp * den
+            p_delta = 1.0 - mfp_den * inv_tot
 
             newly_escaped = active & ~in_bbox
-            real = active & in_bbox & (u_int >= p_delta)
+            real = active & in_bbox & ~clamped & (u_int >= p_delta)
 
-            return (
-                npx_, npy_, npz_,
-                pending | real,
-                escaped | newly_escaped,
-                jnp.where(real, nvox, vox),
-                jnp.where(real, u_int, randno),
-                jnp.where(real, p_delta, prob_delta),
-                jnp.where(real, mfp_den, mfp_density),
+            pending = pending | real
+            vox = jnp.where(real, nvox, vox)
+            mat_evt = jnp.where(real, mat, mat_evt)
+            randno = jnp.where(real, u_int, randno)
+            prob_delta = jnp.where(real, p_delta, prob_delta)
+            mfp_density = jnp.where(real, mfp_den, mfp_density)
+            k_air = jnp.where(active, k_new, k_air)
+
+            # ---- stash the detector record and adopt the candidate ------
+            pix, hit = _tally_pixel(
+                px, py, pz, dx, dy, dz, detector, n_pixels_x, n_pixels_z
             )
+            rec = jnp.where(hit, scatter * npix + pix, 4 * npix)
+            do_stash = newly_escaped & ~stash_valid
+            stash_idx = jnp.where(do_stash, rec, stash_idx)
+            stash_energy = jnp.where(do_stash, energy, stash_energy)
+            stash_valid = stash_valid | do_stash
 
-        fs = (px, py, pz, pending, jnp.zeros((n,), bool), s["vox"], s["randno"],
-              s["prob_delta"], s["mfp_density"])
+            adopt = do_stash & cand_free & bulk
+            escaped = escaped | (newly_escaped & ~do_stash)
+            alive = alive & (~newly_escaped | adopt)
+            cand_free = cand_free & ~adopt
+            remaining = remaining - jnp.sum(adopt.astype(jnp.int32))
+
+            px = jnp.where(adopt, bpx, px)
+            py = jnp.where(adopt, bpy, py)
+            pz = jnp.where(adopt, bpz, pz)
+            dx = jnp.where(adopt, ndx, dx)
+            dy = jnp.where(adopt, ndy, dy)
+            dz = jnp.where(adopt, ndz, dz)
+            energy = jnp.where(adopt, e_cand, energy)
+            ebin = jnp.where(adopt, ebin_cand, ebin)
+            scatter = jnp.where(adopt, 0, scatter)
+            k_air = jnp.where(adopt, 0, k_air)
+            use_cand = use_cand | adopt
+
+            return (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
+                    pending, escaped, k_air, use_cand, vox,
+                    mat_evt, randno, prob_delta, mfp_density, stash_idx,
+                    stash_energy, stash_valid, cand_free, remaining)
+
+        fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
+              jnp.zeros((n,), bool), k_air, jnp.zeros((n,), bool), s["vox"],
+              s["mat_evt"], s["randno"], s["prob_delta"], s["mfp_density"],
+              jnp.full((n,), 4 * npix, jnp.int32), zeros, jnp.zeros((n,), bool),
+              cand_free0, remaining)
         for i in range(config.max_virtual_trips):
-            fs = flight(i, fs, u_flight[i, 0], u_flight[i, 1])
-        px, py, pz, pending, escaped, vox, randno, prob_delta, mfp_density = fs
+            u2 = uniform_open(flight_keys[i], (2, n))
+            fs = flight(fs, u2[0], u2[1])
+        (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
+         escaped, k_air, _, vox, mat_evt, randno,
+         prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
+         _, remaining) = fs
 
-        # ---------------- 3. tally escaped lanes -------------------------
+        # ---------------- 4. tally: stashed records + parked lanes --------
+        image = s["image"].at[stash_idx].add(
+            jnp.where(stash_valid, stash_energy, 0.0), mode="drop"
+        )
         pix, hit = _tally_pixel(
             px, py, pz, dx, dy, dz, detector, n_pixels_x, n_pixels_z
         )
         tally_mask = escaped & hit
-        tally_idx = jnp.where(tally_mask, scatter * npix + pix, -1)
-        image = s["image"].at[tally_idx].add(
+        tally_idx = jnp.where(tally_mask, scatter * npix + pix, 4 * npix)
+        image = image.at[tally_idx].add(
             jnp.where(tally_mask, energy, 0.0), mode="drop"
         )
-        alive = alive & ~escaped
 
-        # ---------------- 4. real interactions ---------------------------
+        # ---------------- 5. real interactions (compacted batch) ----------
         pending = pending & alive
-        mat = volume.material[vox]
-        row = tables.mfp_cr_ab[jnp.maximum(ebin, 0) * n_mats + mat]
-        p_compton = prob_delta + mfp_density * (row[:, 0] + energy * row[:, 1])
-        p_rayleigh = p_compton + mfp_density * (row[:, 2] + energy * row[:, 3])
-        want_compton = pending & (randno < p_compton)
-        want_rayleigh = pending & ~want_compton & (randno < p_rayleigh)
-        is_photo = pending & ~want_compton & ~want_rayleigh
+        c_e = config.event_lanes
+        idx_e, _ = _compact_indices(pending, c_e, fill=n)
+        valid_e = idx_e < n
+        idx_es = jnp.minimum(idx_e, n - 1)
 
-        # throttle the expensive samplers to a compact event batch; lanes
-        # over budget keep waiting at their interaction site (stay pending)
-        c = config.event_lanes
-
-        def compact(mask):
-            order = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            take = mask & (order < c)
-            (idx,) = jnp.nonzero(take, size=c, fill_value=n)
-            return take, idx
-
-        take_c, idx_c = compact(want_compton)
-        take_r, idx_r = compact(want_rayleigh)
-        valid_c = idx_c < n
-        valid_r = idx_r < n
-
-        # compacted Compton (indices == n clamp on gather; dropped on scatter)
-        new_e_c, costh_c = samplers.compton_scatter(
-            k_comp, energy[idx_c], mat[idx_c], ebin[idx_c], tables, valid_c
+        # two packed gathers fetch all per-event lane state
+        fstack = jnp.stack([energy, randno, prob_delta, mfp_density], axis=1)
+        istack = jnp.stack(
+            [vox, jnp.maximum(ebin, 0) * 32 + mat_evt], axis=1
         )
-        # compacted Rayleigh
-        costh_r = samplers.rayleigh_scatter(
-            k_ray, energy[idx_r], mat[idx_r], ebin[idx_r], tables, valid_r
+        fv = fstack[idx_es]
+        iv = istack[idx_es]
+        e_e, randno_e = fv[:, 0], fv[:, 1]
+        pd_e, md_e = fv[:, 2], fv[:, 3]
+        vox_e = iv[:, 0]
+        ebin_e = iv[:, 1] >> 5
+        mat_e = iv[:, 1] & 31
+
+        rows_e = event_cols[jnp.clip(ebin_e, 0, n_bins - 1)]  # [c_e, 6*n_mats]
+        onehot_e = (mat_e[:, None] == mat_iota).astype(jnp.float32)
+
+        def sel(block):
+            return jnp.sum(block * onehot_e, axis=1)
+
+        inv_com = sel(
+            rows_e[:, 0 * n_mats : 1 * n_mats]
+            + e_e[:, None] * rows_e[:, 1 * n_mats : 2 * n_mats]
         )
+        inv_ray = sel(
+            rows_e[:, 2 * n_mats : 3 * n_mats]
+            + e_e[:, None] * rows_e[:, 3 * n_mats : 4 * n_mats]
+        )
+        p_compton = pd_e + md_e * inv_com
+        p_rayleigh = p_compton + md_e * inv_ray
+        want_c = valid_e & (randno_e < p_compton)
+        want_r = valid_e & ~want_c & (randno_e < p_rayleigh)
+        photo = valid_e & ~want_c & ~want_r
+
+        # --- Compton: masked in-batch; shell rows via one MXU matmul -----
+        s0_e = sel(rows_e[:, 4 * n_mats : 5 * n_mats])
+        shell_rows = jax.lax.dot_general(
+            shell_cat, onehot_e,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3*s_max, c_e] shell-major
+        new_e_c, costh_c = samplers.compton_scatter_rows(
+            k_comp, e_e, s0_e,
+            shell_rows[:s_max],
+            shell_rows[s_max : 2 * s_max],
+            shell_rows[2 * s_max :],
+            want_c,
+        )
+
+        # --- Rayleigh: rarer; sub-compacted batch with row-fetched RITA --
+        c_r = config.rayleigh_lanes
+        sub, order_r = _compact_indices(want_r, c_r, fill=c_e)
+        valid_r = sub < c_e
+        subs = jnp.minimum(sub, c_e - 1)
+        took_r = want_r & (order_r < c_r)  # over-budget lanes stay pending
+        pmax_e = sel(rows_e[:, 5 * n_mats : 6 * n_mats])
+        costh_r = samplers.rayleigh_scatter_rows(
+            k_ray, e_e[subs], mat_e[subs], pmax_e[subs], tables, valid_r
+        )
+
+        # event outcome per batch slot -> scattered back to lanes
+        new_energy_e = jnp.where(want_c, new_e_c, e_e)
+        costh_e = jnp.where(want_c, costh_c, 1.0)
+        costh_e = costh_e.at[sub].set(
+            jnp.where(valid_r, costh_r, 1.0), mode="drop"
+        )
+        code_e = jnp.where(want_c, 1, jnp.where(took_r, 2, jnp.where(photo, 3, 0)))
 
         energy_before = energy
-        energy = energy.at[idx_c].set(
-            jnp.where(valid_c, new_e_c, 0.0), mode="drop"
+        energy = energy.at[idx_e].set(
+            jnp.where(valid_e, new_energy_e, 0.0), mode="drop"
         )
-        costh = jnp.ones((n,), jnp.float32)
-        costh = costh.at[idx_c].set(jnp.where(valid_c, costh_c, 1.0), mode="drop")
-        costh = costh.at[idx_r].set(jnp.where(valid_r, costh_r, 1.0), mode="drop")
+        costh = jnp.ones((n,), jnp.float32).at[idx_e].set(
+            jnp.where(valid_e, costh_e, 1.0), mode="drop"
+        )
+        code = jnp.zeros((n,), jnp.int32).at[idx_e].set(
+            jnp.where(valid_e, code_e, 0), mode="drop"
+        )
+        took_compton = code == 1
+        took_rayleigh = code == 2
+        took_photo = code == 3
 
         phi = uniform_open(k_phi, (n,)) * TWO_PI
         rdx, rdy, rdz = samplers.rotate_direction(dx, dy, dz, costh, phi)
-        rotate = take_c | take_r
+        rotate = took_compton | took_rayleigh
         dx = jnp.where(rotate, rdx, dx)
         dy = jnp.where(rotate, rdy, dy)
         dz = jnp.where(rotate, rdz, dz)
 
         new_ebin = ebin_of(energy)
-        absorbed = is_photo | (take_c & (new_ebin < 0))
+        absorbed = took_photo | (took_compton & (new_ebin < 0))
         alive = alive & ~absorbed
 
         # ---------------- dose tallies (optional) -------------------------
@@ -401,15 +848,15 @@ def run_projection(
             # loss for Compton (electrons not transported; below-cutoff
             # residual energy is discarded as in the reference)
             edep = jnp.where(
-                is_photo, energy,
-                jnp.where(take_c, energy_before - energy, 0.0),
+                took_photo, energy,
+                jnp.where(took_compton, energy_before - energy, 0.0),
             )
-            deposit = is_photo | take_c
-            dose_idx = jnp.where(deposit, vox, -1)
+            deposit = took_photo | took_compton
+            dose_idx = jnp.where(deposit, vox, n_voxels)
             extra_state["voxel_dose"] = s["voxel_dose"].at[dose_idx].add(
                 jnp.where(deposit, edep, 0.0), mode="drop"
             )
-            mat_idx = jnp.where(deposit, mat, -1)
+            mat_idx = jnp.where(deposit, mat_evt, n_mats)
             material_dose = s["material_dose"].at[mat_idx, 0].add(
                 jnp.where(deposit, edep, 0.0), mode="drop"
             )
@@ -417,19 +864,34 @@ def run_projection(
                 jnp.where(deposit, edep * edep, 0.0), mode="drop"
             )
 
-        ebin = jnp.where(take_c, new_ebin, ebin)
-        mfp_wc = jnp.where(take_c & alive, woodcock_mfp(ebin, energy), mfp_wc)
+        ebin = jnp.where(took_compton, new_ebin, ebin)
         scatter = jnp.where(
-            take_c,
+            took_compton,
             jnp.where(scatter == 0, COMPTON, MULTI),
-            jnp.where(take_r, jnp.where(scatter == 0, RAYLEIGH, MULTI), scatter),
+            jnp.where(
+                took_rayleigh,
+                jnp.where(scatter == 0, RAYLEIGH, MULTI),
+                scatter,
+            ),
         )
-        pending = pending & ~(take_c | take_r | is_photo)
+        pending = pending & ~(took_compton | took_rayleigh | took_photo)
+
+        if return_stats:
+            extra_state["counts"] = s["counts"] + jnp.array([
+                jnp.sum(stash_valid & (stash_idx < 4 * npix)), jnp.sum(tally_mask),
+                jnp.sum(took_compton), jnp.sum(took_rayleigh),
+                jnp.sum(took_photo), n_started,
+                s["remaining"] - n_started - remaining,
+                sum(active_slots, start=jnp.int32(0)),
+                jnp.sum(jnp.where(stash_valid & (stash_idx < 4 * npix), stash_energy, 0.0)),
+                jnp.sum(jnp.where(tally_mask, energy, 0.0)),
+            ], dtype=jnp.float64)
 
         return dict(
             px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
-            energy=energy, ebin=ebin, mfp_wc=mfp_wc, scatter=scatter,
-            alive=alive, pending=pending, vox=vox, randno=randno,
+            energy=energy, ebin=ebin, scatter=scatter,
+            alive=alive, pending=pending, k_air=k_air, vox=vox,
+            mat_evt=mat_evt, randno=randno,
             prob_delta=prob_delta, mfp_density=mfp_density,
             remaining=remaining, image=image, key=key, it=s["it"] + 1,
             **extra_state,
@@ -444,6 +906,7 @@ def run_projection(
     if return_stats:
         extras["iterations"] = final["it"]
         extras["remaining"] = final["remaining"]
+        extras["counts"] = final["counts"]
     if extras:
         return image, extras
     return image

@@ -2,24 +2,36 @@
 must stay stable across refactors (tolerances absorb float-reassociation
 differences between XLA versions but catch physics regressions).
 
-Regenerate tests/golden_slab_values.json deliberately when a change is
-*supposed* to alter the physics (document why in the commit)."""
+The golden config pins the threefry PRNG (``rng_impl=None``) so the random
+stream is backend-stable; the default engine config uses the faster XLA
+RngBitGenerator whose stream may change between XLA releases.
 
+Regenerate tests/golden_slab_values.json deliberately when a change is
+*supposed* to alter the physics or the RNG stream (document why in the
+commit): ``python tests/test_golden.py`` rewrites the file in place.
+
+History: regenerated for engine v2 (round 2) - the raised sampler trip
+counts (VERDICT item 4: the v1 trip-exhaustion bias committed ~0.4% of
+Compton taus from rejected proposals) and the reorganised per-iteration RNG
+consumption both shift the fixed-seed draw; 8-seed means of v1 and v2 agree
+within statistics (verified during the rewrite)."""
+
+import dataclasses
 import json
 from pathlib import Path
 
 import numpy as np
 import pytest
 
-from test_transport import N_PIX, _scene, _simulate
+from test_transport import N_PIX, CONFIG, _scene, _simulate
 from cbctmc_tpu.physics.materials import default_material_set
 from cbctmc_tpu.physics.spectrum import Spectrum
 
+GOLDEN_PATH = Path(__file__).parent / "golden_slab_values.json"
+GOLDEN_CONFIG = dataclasses.replace(CONFIG, rng_impl=None)
 
-def test_golden_slab_projection():
-    golden = json.loads(
-        (Path(__file__).parent / "golden_slab_values.json").read_text()
-    )
+
+def _golden_image():
     ts = default_material_set()
     mono = Spectrum(
         "mono60",
@@ -27,7 +39,15 @@ def test_golden_slab_projection():
         np.array([1.0], np.float32),
     )
     mats, dens = _scene(ts, True)
-    img = _simulate(ts, mono, mats, dens, n_histories=120_000, seed=1234)
+    return _simulate(
+        ts, mono, mats, dens, n_histories=120_000, seed=1234,
+        config=GOLDEN_CONFIG,
+    )
+
+
+def test_golden_slab_projection():
+    golden = json.loads(GOLDEN_PATH.read_text())
+    img = _golden_image()
 
     for i, expected in enumerate(golden["channel_sums"]):
         assert img[i].sum() == pytest.approx(expected, rel=2e-3), f"channel {i}"
@@ -37,3 +57,18 @@ def test_golden_slab_projection():
     assert int((img.sum(axis=0) > 0).sum()) == pytest.approx(
         golden["nonzero_pixels"], abs=8
     )
+
+
+if __name__ == "__main__":  # regenerate the golden file
+    img = _golden_image()
+    GOLDEN_PATH.write_text(
+        json.dumps(
+            {
+                "channel_sums": [float(img[i].sum()) for i in range(4)],
+                "primary_center": float(img[0, 14:18, 14:18].sum()),
+                "nonzero_pixels": int((img.sum(axis=0) > 0).sum()),
+            },
+            indent=2,
+        )
+    )
+    print("regenerated", GOLDEN_PATH)

@@ -44,7 +44,7 @@ def _scene(table_set, with_water_slab: bool):
 
 
 def _simulate(table_set, spectrum, mats, dens, n_histories=300_000, theta=-1.0,
-              phi=(-1.0, -1.0), seed=0):
+              phi=(-1.0, -1.0), seed=0, config=CONFIG):
     tables = build_device_tables(table_set, spectrum)
     max_density = np.zeros(table_set.n_materials, np.float32)
     np.maximum.at(max_density, mats.astype(int).reshape(-1) - 1, dens.reshape(-1))
@@ -65,7 +65,7 @@ def _simulate(table_set, spectrum, mats, dens, n_histories=300_000, theta=-1.0,
     img = run_projection(
         tables, woodcock, volume, src, det,
         jnp.int32(n_histories), jax.random.PRNGKey(seed),
-        n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=CONFIG,
+        n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=config,
     )
     return np.asarray(img, np.float64)
 
