@@ -44,10 +44,12 @@ def _load_geometry(
         logger.info("Using built-in CatPhan604 phantom geometry")
         return CatPhan604Geometry(shape=(500, 500, 500))
     if cirs_phantom:
-        from cbctmc_tpu.geometry.phantoms import WaterPhantomGeometry
+        from cbctmc_tpu.geometry.phantoms import CIRSPhantomGeometry
 
-        logger.info("Using built-in CIRS-like phantom geometry")
-        return WaterPhantomGeometry(shape=(500, 500, 500))
+        logger.info(
+            "Using built-in CIRS thorax phantom with the motion insert"
+        )
+        return CIRSPhantomGeometry.synthetic_thorax().place_insert()
     if geometry_filepath:
         return MCGeometry.load(geometry_filepath)
     if image_filepath:
@@ -116,6 +118,21 @@ def run_mc(
     from cbctmc_tpu.pipeline.simulation import MCSimulation, MCSimulation4D
 
     output_folder = Path(output_folder)
+
+    if tuple(gpu) != (0,):
+        logger.warning(
+            "--gpu is accepted for reference CLI compatibility but has no "
+            "effect: the engine runs on the JAX default device(s); use "
+            "JAX_PLATFORMS / jax distributed initialisation to select "
+            "hardware"
+        )
+    if no_clean:
+        logger.warning(
+            "--no-clean has no effect: the in-process engine produces no "
+            "per-projection temp files to clean (the reference flag kept "
+            "MC-GPU's ASCII projection files)"
+        )
+
     if simulation_name is None:
         source_path = image_filepath or geometry_filepath
         simulation_name = (
@@ -184,15 +201,21 @@ def run_mc(
             sim.run_simulation(sim_folder, seed=random_seed)
 
         if do_forward_projection:
-            _forward_project_geometry(
-                geometry, sim_folder, n_projections=n_projections
-            )
+            if is_4d:
+                _forward_project_geometry_4d(
+                    sim_folder, n_projections=n_projections
+                )
+            else:
+                _forward_project_geometry(
+                    geometry, sim_folder, n_projections=n_projections
+                )
 
         if speedup_weights and config_name.startswith("speedup"):
+            fp_name = "density_fp_4d.mha" if is_4d else "density_fp.mha"
             _apply_speedup(
                 sim_folder, speedup_weights,
                 forward_projection_path=(
-                    sim_folder / "density_fp.mha" if do_forward_projection else None
+                    sim_folder / fp_name if do_forward_projection else None
                 ),
             )
 
@@ -233,6 +256,61 @@ def _forward_project_geometry(geometry, sim_folder: Path, n_projections: int):
     )
     _write_projection_stack(
         fp[:, ::-1, :], sim_folder / "density_fp.mha", (0.388, 0.388)
+    )
+
+
+def _forward_project_geometry_4d(sim_folder: Path, n_projections: int,
+                                 recon_geometry=None):
+    """Per-angle forward projection of the WARPED geometries of a 4D run:
+    each projection's density is forward-projected with the motion state the
+    MC simulation used for that angle (reference:
+    scripts/run_mc_simulations.py:491-556 -> density_fp_4d.mha). The warped
+    geometries are read back from the 4D run's geometry cache via
+    projection_geometries.yaml."""
+    import numpy as np
+    import yaml
+
+    from cbctmc_tpu.geometry.mc_geometry import MCGeometry
+    from cbctmc_tpu.pipeline.simulation import _write_projection_stack
+    from cbctmc_tpu.recon.geometry import ConeBeamGeometry, mc_scan_angles
+    from cbctmc_tpu.recon.joseph import project_forward
+
+    with open(sim_folder / "projection_geometries.yaml") as f:
+        projection_geometries = yaml.safe_load(f)
+    entries = sorted(projection_geometries.items())  # angle-ordered
+    if len(entries) != n_projections:
+        raise ValueError(
+            f"projection_geometries.yaml has {len(entries)} entries, "
+            f"expected {n_projections}"
+        )
+    angles = mc_scan_angles(n_projections)
+
+    # group projection indices by warped-geometry file: each unique motion
+    # state is loaded and projected once
+    groups: dict = {}
+    for idx, (_, entry) in enumerate(entries):
+        groups.setdefault(entry["geometry_filename"], []).append(idx)
+
+    fp = None
+    for geometry_filename, indices in groups.items():
+        warped = MCGeometry.load(sim_folder / geometry_filename)
+        densities = np.rot90(warped.densities, k=3, axes=(0, 1))
+        spacing = (
+            warped.image_spacing[1],
+            warped.image_spacing[0],
+            warped.image_spacing[2],
+        )
+        group_fp = project_forward(
+            np.ascontiguousarray(densities),
+            recon_geometry or ConeBeamGeometry(),
+            angles[indices],
+            volume_spacing=spacing,
+        )
+        if fp is None:
+            fp = np.zeros((n_projections, *group_fp.shape[1:]), np.float32)
+        fp[indices] = group_fp
+    _write_projection_stack(
+        fp[:, ::-1, :], sim_folder / "density_fp_4d.mha", (0.388, 0.388)
     )
 
 

@@ -88,9 +88,11 @@ def compton_scatter_rows(
     ui_rows: jnp.ndarray,
     j0_rows: jnp.ndarray,
     mask: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_accepted: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Sample Compton scattering from pre-fetched per-lane shell rows:
-    returns (new_energy, cos_theta).
+    returns (new_energy, cos_theta) (plus the tau-acceptance mask when
+    ``return_accepted`` - for the trip-exhaustion statistics tests).
 
     Implements the PENELOPE-2006 relativistic impulse approximation: tau is
     sampled from the Klein-Nishina composition scheme and accepted against
@@ -222,6 +224,8 @@ def compton_scatter_rows(
 
     new_energy = jnp.where(mask, new_energy, energy)
     costh = jnp.where(mask, costh, 1.0)
+    if return_accepted:
+        return new_energy, costh, accepted
     return new_energy, costh
 
 
@@ -249,8 +253,10 @@ def rayleigh_scatter_rows(
     pmax: jnp.ndarray,
     tables: DeviceTables,
     mask: jnp.ndarray,
-) -> jnp.ndarray:
-    """Sample the Rayleigh (coherent) scattering angle, returns cos_theta.
+    return_accepted: bool = False,
+):
+    """Sample the Rayleigh (coherent) scattering angle, returns cos_theta
+    (plus the acceptance mask when ``return_accepted``).
 
     RITA rational inverse-transform sampling of the squared molecular form
     factor with Thomson (1+cos^2)/2 angular rejection; energies with
@@ -317,8 +323,11 @@ def rayleigh_scatter_rows(
     carry = (jnp.ones((n,), jnp.float32), ~mask)
     for i in range(RAYLEIGH_TRIPS):
         carry = trip(i, carry, *uniform_open(ray_keys[i], (3, n)))
-    costh, _ = carry
-    return jnp.where(mask, costh, 1.0)
+    costh, accepted = carry
+    costh = jnp.where(mask, costh, 1.0)
+    if return_accepted:
+        return costh, accepted
+    return costh
 
 
 def rayleigh_scatter(

@@ -4,7 +4,8 @@ Host-side orchestration around :func:`cbctmc_tpu.engine.transport.run_projection
 
 - splits history budgets into int32-safe device chunks (the reference
   default is 1.19e10 histories/projection, cbctmc/defaults.py:52),
-- accumulates per-chunk float32 detector tallies into float64 on the host,
+- accumulates per-chunk tallies on device (f32) with one float64 host
+  transfer per projection, pipelined against the next projection's chunks,
 - normalises images to eV/cm^2 per history — the reference engine's output
   unit (report_image, MC-GPU_v1.3.cu:2860-2861),
 - converts the framework's MCGeometry voxel convention into the engine
@@ -213,11 +214,24 @@ class MCScanner:
         chunk_size = min(PILOT_CHUNK, n_histories)
 
         t0 = time.monotonic()
+        # per-projection tallies accumulate ON DEVICE (f32; the per-chunk
+        # dynamic range keeps the accumulation error orders below MC noise)
+        # and transfer to the host float64 master exactly once per
+        # projection - JAX's async dispatch then overlaps the host work
+        # with the next projection's device chunks
+        pending: list = []  # [(index, device_image)]
+
+        def drain(limit: int):
+            while len(pending) > limit:
+                j, dev_img = pending.pop(0)
+                images[j] += np.asarray(dev_img, np.float64)
+
         for i in range(n_proj):
             src_i: FanBeamSource = jax.tree.map(lambda x: jnp.asarray(x[i]), source)
             det_i: DetectorGeom = jax.tree.map(lambda x: jnp.asarray(x[i]), detector)
             done = 0
             chunk_idx = 0
+            acc = None
             while done < n_histories:
                 chunk = min(chunk_size, MAX_CHUNK, n_histories - done)
                 k = jax.random.fold_in(jax.random.fold_in(key, i), chunk_idx)
@@ -234,15 +248,22 @@ class MCScanner:
                     n_pixels_z=npz,
                     config=self.engine_config,
                 )
-                images[i] += np.asarray(img, np.float64)
+                acc = img if acc is None else acc + img
                 done += chunk
                 chunk_idx += 1
-                elapsed = time.monotonic() - t_chunk
-                if elapsed > 0.05:
-                    rate = chunk / elapsed
-                    chunk_size = int(
-                        max(PILOT_CHUNK, rate * TARGET_SECONDS_PER_CALL)
-                    )
+                if chunk_idx <= 2 and done < n_histories:
+                    # pilot timing needs a sync; the FIRST chunk's time
+                    # includes the XLA compile, so the clean rate is taken
+                    # from the second chunk - later chunks run free
+                    jax.block_until_ready(acc)
+                    elapsed = time.monotonic() - t_chunk
+                    if chunk_idx == 2 and elapsed > 0.05:
+                        rate = chunk / elapsed
+                        chunk_size = int(
+                            max(PILOT_CHUNK, rate * TARGET_SECONDS_PER_CALL)
+                        )
+            pending.append((i, acc))
+            drain(1)  # keep one projection in flight
             if progress:
                 logger.info(
                     "Simulating Projection %d of %d (angle %.3f deg)",
@@ -250,6 +271,7 @@ class MCScanner:
                     n_proj,
                     angles[i],
                 )
+        drain(0)
         wall = time.monotonic() - t0
 
         # normalise to eV/cm^2 per history

@@ -271,6 +271,62 @@ class CIRSPhantomGeometry(MCGeometry):
 
     DEFAULT_INSERT_CENTER = (238, 141, 71)
 
+    @classmethod
+    def synthetic_thorax(cls, shape=(350, 260, 142),
+                         image_spacing=(1.0, 1.0, 1.0),
+                         table_set: MaterialTableSet | None = None,
+                         ) -> "CIRSPhantomGeometry":
+        """Analytic CIRS-008A-like thorax base: an elliptical plastic-water
+        body with two lung-equivalent compartments (0.207 x water, the
+        lung override of the reference's CIRS builder, geometry.py:742-745)
+        and a vertebral bone insert. The reference ships this base as a
+        pickled CT-derived asset (assets/geometries/base_cirs_geometry);
+        this synthetic stand-in reproduces its layout so the insert and
+        line-pair builders land inside the right lung at the reference's
+        default insert centre (238, 141, 71)."""
+        table_set = table_set or default_material_set()
+        air = table_set.material("air")
+        h2o = table_set.material("h2o")
+        bone = table_set.material("bone_050")
+
+        nx, ny, nz = shape
+        sx, sy, sz = image_spacing
+        materials = np.full(shape, air.number, np.uint8)
+        densities = np.full(shape, air.density, np.float32)
+
+        x = (np.arange(nx, dtype=np.float32) - (nx - 1) / 2)[:, None] * sx
+        y = (np.arange(ny, dtype=np.float32) - 130.0)[None, :] * sy
+
+        # body: ellipse 330 x 230 mm of plastic water
+        body = (x / 165.0) ** 2 + (y / 115.0) ** 2 <= 1.0
+        body3 = np.repeat(body[:, :, None], nz, axis=2)
+        materials[body3] = h2o.number
+        densities[body3] = h2o.density
+
+        # lungs: two circular compartments at lung-equivalent density
+        for cx in (105.0, 245.0):
+            lung = ((np.arange(nx)[:, None] - cx) * sx) ** 2 + (
+                (np.arange(ny)[None, :] - 138.0) * sy
+            ) ** 2 <= 55.0**2
+            lung3 = np.repeat(lung[:, :, None], nz, axis=2) & body3
+            materials[lung3] = h2o.number
+            densities[lung3] = 0.207 * h2o.density
+
+        # vertebral insert (posterior midline)
+        spine = ((np.arange(nx)[:, None] - (nx - 1) / 2) * sx) ** 2 + (
+            (np.arange(ny)[None, :] - 210.0) * sy
+        ) ** 2 <= 14.0**2
+        spine3 = np.repeat(spine[:, :, None], nz, axis=2) & body3
+        materials[spine3] = bone.number
+        densities[spine3] = bone.density
+
+        geometry = cls(
+            materials=materials, densities=densities,
+            image_spacing=image_spacing,
+        )
+        geometry.table_set = table_set
+        return geometry
+
     @staticmethod
     def create_spherical_mask(radius, shape, center):
         x = (np.arange(shape[0], dtype=np.float32) - center[0]) ** 2

@@ -82,6 +82,10 @@ class SpeedupProjectionDataset:
     patch_shape: Tuple[int, int] = (384, 384)
     seed: int = 0
     use_forward_projection: bool = True
+    # normalise every triplet by the low projection's mean: the net then
+    # works on a transmission-like O(1) scale independent of the simulation
+    # operating point (histories, pixel area, energy unit)
+    normalize_by_low_mean: bool = True
 
     def __post_init__(self):
         self.folder = Path(self.folder)
@@ -106,6 +110,15 @@ class SpeedupProjectionDataset:
                     if self.use_forward_projection and fp_path.exists()
                     else low
                 )
+                if self.normalize_by_low_mean:
+                    scale = 1.0 / max(float(low.mean()), 1e-12)
+                    low = low * scale
+                    high = high * scale
+                    # the FP channel is mean/std-matched to the low input at
+                    # inference time (speedup_inference.match_mean_std);
+                    # apply the same matching here
+                    fp = (fp - fp.mean()) / (fp.std() + 1e-12)
+                    fp = fp * low.std() + low.mean()
                 ph, pw = self.patch_shape
                 h = min(ph, low.shape[0])
                 w = min(pw, low.shape[1])

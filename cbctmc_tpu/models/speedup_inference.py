@@ -81,6 +81,10 @@ class MCSpeedup:
         for start in range(0, p, batch_size):
             sl = slice(start, min(start + batch_size, p))
             lo = jnp.asarray(low[sl, :h16, :w16])
+            # the net is trained on a transmission-like scale: each
+            # projection normalised by its low-photon mean
+            scale = jnp.maximum(lo.mean(axis=(1, 2), keepdims=True), 1e-12)
+            lo = lo / scale
             if forward_projection is not None:
                 fp = jnp.asarray(
                     forward_projection[sl, :h16, :w16], jnp.float32
@@ -90,8 +94,9 @@ class MCSpeedup:
                 fp = lo
             x = jnp.stack([lo, fp], axis=-1)
             out = np.asarray(self._apply(self.params, x))
-            means[sl, :h16, :w16] = out[..., 0]
-            variances[sl, :h16, :w16] = out[..., 1]
+            scale_np = np.asarray(scale)
+            means[sl, :h16, :w16] = out[..., 0] * scale_np
+            variances[sl, :h16, :w16] = out[..., 1] * scale_np**2
         if pad_h or pad_w:
             # edges beyond the net's working area keep the input values
             means[:, h16:, :] = low[:, h16:, :]

@@ -195,7 +195,8 @@ class CorrespondenceModel:
             signals = np.stack([signal, dt_signal], axis=0)
 
         vector_fields = register_phases(
-            images, reference_index=reference_phase, **(registration_kwargs or {})
+            images, reference_index=reference_phase, masks=masks,
+            **(registration_kwargs or {})
         )
         return cls().fit(
             vector_fields=vector_fields,

@@ -265,6 +265,7 @@ class MCSimulation4D:
         run_air_simulation: bool = True,
         air_projection_denoise_kernel_size=(10.0, 10.0),
         force_rerun: bool = False,
+        precompile_geometries: bool = False,
     ) -> Dict[str, Path]:
         import yaml
 
@@ -309,6 +310,24 @@ class MCSimulation4D:
 
         unique_signals = RespiratorySignal.get_unique_signals(signal, dt_signal)
         logger.info("Unique motion states: %d", len(unique_signals))
+
+        if precompile_geometries:
+            # warp and cache every unique motion state up front with a small
+            # thread pool (reference: mc/simulation.py:506-525)
+            from multiprocessing.pool import ThreadPool
+
+            def _prepare(item):
+                (s_val, ds_val) = item
+                suffix = f"_{self._signal_hash(s_val, ds_val)}"
+                geometry_file = (
+                    geometry_output_folder / f"geometry{suffix}.pkl.gz"
+                )
+                if not geometry_file.is_file():
+                    self._warp_geometry(s_val, ds_val).save(geometry_file)
+
+            with ThreadPool(8) as pool:
+                pool.map(_prepare, list(unique_signals.keys()))
+            logger.info("Precompiled %d warped geometries", len(unique_signals))
 
         base_sim = MCSimulation(
             geometry=self.geometry,

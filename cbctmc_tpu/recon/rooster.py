@@ -7,10 +7,13 @@ tviter=10, gamma_time=2e-4, gamma_space=7e-5). Algorithm after Mory et al.
 2014: alternate
 
 1. data-fidelity updates of each respiratory-phase volume against its
-   projections (here: Landweber/SART-style gradient steps with the
-   framework's cone-beam projector pair — chosen over CG because the
-   ray-marching forward projector and voxel-driven backprojector are not
-   exact adjoints),
+   projections: conjugate-gradient on the weighted normal equations
+   (rtk "cgiter", reference reconstruction.py:105-121) with an EXACTLY
+   matched projector/adjoint pair - the adjoint is obtained with
+   reverse-mode AD of the ray-marching forward projector (for a linear
+   operator the VJP *is* the transpose), so A/A^T match by construction
+   (a Landweber fallback with the unmatched voxel-driven backprojector is
+   kept for comparison),
 2. spatial TV denoising of every phase (Chambolle projection algorithm),
 3. temporal TV denoising along the phase axis (cyclic).
 
@@ -23,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -109,7 +113,45 @@ class RoosterParameters:
     n_tv_iterations: int = 10  # rtk "tviter"
     gamma_space: float = 7e-5
     gamma_time: float = 2e-4
-    data_step_size: float = 0.5
+    data_step_size: float = 0.5  # Landweber fallback only
+    # "cg": conjugate gradient with the linear-transpose adjoint (the
+    # reference's data term); "landweber": gradient steps with the
+    # voxel-driven backprojector
+    data_method: str = "cg"
+
+
+def _cg_normal_equations(forward, vol0, b, w, n_iter: int):
+    """Minimise ||sqrt(w) (A x - b)||^2 with conjugate gradient on the
+    normal equations A^T W A x = A^T W b. ``forward`` must be linear in the
+    volume; its exact transpose comes from reverse-mode AD (for a linear
+    map the VJP is the transpose, independent of the linearisation point;
+    jax.linear_transpose cannot transpose the projector's fori_loop)."""
+    _, vjp_fn = jax.vjp(forward, vol0)
+
+    def at(y):
+        return vjp_fn(y)[0]
+
+    w3 = w[:, None, None]
+
+    def ata(x):
+        return at(w3 * forward(x))
+
+    rhs = at(w3 * b)
+    eps = jnp.float32(1e-30)
+
+    x = vol0
+    r = rhs - ata(x)
+    p = r
+    rs = jnp.vdot(r, r)
+    for _ in range(n_iter):
+        ap = ata(p)
+        alpha = rs / jnp.maximum(jnp.vdot(p, ap), eps)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / jnp.maximum(rs, eps)) * p
+        rs = rs_new
+    return x
 
 
 def rooster_reconstruct(
@@ -200,13 +242,51 @@ def rooster_reconstruct(
         path_norm = float(np.linalg.norm(np.asarray(grid.shape) * spacing))
         return volume - par.data_step_size * bp / path_norm
 
+    e_v = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    origin_j = jnp.asarray(origin, jnp.float32)
+    spacing_j = jnp.asarray(spacing, jnp.float32)
+
+    # pad every phase's projection set to a common size (weight 0) so one
+    # compiled CG program serves all phases
+    phase_sets = [np.where(weights[:, ph] > 1e-6)[0] for ph in range(par.n_phases)]
+    max_sel = max((len(x) for x in phase_sets), default=0)
+
+    @partial(jax.jit, static_argnames=())
+    def cg_update(vol, srcs, dets, eus, b, w):
+        def forward(v):
+            def one(src, det, eu):
+                return _project_one(
+                    v, origin_j, spacing_j, src, det, eu, e_v,
+                    pixel_u, pixel_v, n_steps=n_steps,
+                    step_mm=jnp.float32(step_mm),
+                )
+            return jax.vmap(one)(srcs, dets, eus)
+
+        return _cg_normal_equations(
+            forward, vol, b, w, par.n_data_subiterations
+        )
+
     for outer in range(par.n_iterations):
         new_volumes = []
         for phase in range(par.n_phases):
             w_all = weights[:, phase]
-            proj_indices = np.where(w_all > 1e-6)[0]
+            proj_indices = phase_sets[phase]
             vol = volumes[phase]
-            if len(proj_indices):
+            if len(proj_indices) and par.data_method == "cg":
+                sel = np.zeros(max_sel, np.int64)
+                sel[: len(proj_indices)] = proj_indices
+                w_sel = np.zeros(max_sel, np.float32)
+                w_sel[: len(proj_indices)] = w_all[proj_indices]
+                det_centers = sources[sel] + dirs[sel] * geometry.sdd
+                vol = cg_update(
+                    vol,
+                    jnp.asarray(sources[sel], jnp.float32),
+                    jnp.asarray(det_centers, jnp.float32),
+                    jnp.asarray(e_us[sel], jnp.float32),
+                    jnp.asarray(projections[sel], jnp.float32),
+                    jnp.asarray(w_sel),
+                )
+            elif len(proj_indices):
                 for _ in range(par.n_data_subiterations):
                     vol = data_update(vol, proj_indices, w_all[proj_indices])
             new_volumes.append(vol)

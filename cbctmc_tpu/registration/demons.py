@@ -94,24 +94,51 @@ class DemonsParameters:
     sigma_diffusion: float = 1.25
     n_levels: int = 3
     largest_scale_factor: float = 1.0
+    # reject updates where the transform's Jacobian determinant would fall
+    # below this bound (folding prevention; 0 disables the check)
+    jacobian_min: float = 0.05
 
 
-@partial(jax.jit, static_argnames=("iterations",))
-def _demons_level(fixed, moving, dvf, iterations, tau, k_fluid, k_diff):
-    """Demons iterations at one resolution level."""
+def jacobian_determinant(dvf: jnp.ndarray) -> jnp.ndarray:
+    """det(J) of the transform x + dvf(x) via central differences; values
+    below 0 mark folding (the regularisation target the reference gets from
+    vroc's constrained registration)."""
+    eye = jnp.eye(3, dtype=dvf.dtype)
+    rows = []
+    for c in range(3):
+        g = jnp.stack(jnp.gradient(dvf[c]))  # d dvf_c / d axis
+        rows.append(g + eye[c][:, None, None, None])
+    j = jnp.stack(rows)  # [c, axis, x, y, z]
+    det = (
+        j[0, 0] * (j[1, 1] * j[2, 2] - j[1, 2] * j[2, 1])
+        - j[0, 1] * (j[1, 0] * j[2, 2] - j[1, 2] * j[2, 0])
+        + j[0, 2] * (j[1, 0] * j[2, 1] - j[1, 1] * j[2, 0])
+    )
+    return det
+
+
+@partial(jax.jit, static_argnames=("iterations", "use_jacobian"))
+def _demons_level(fixed, moving, dvf, iterations, tau, k_fluid, k_diff,
+                  mask, jac_min, use_jacobian):
+    """Demons iterations at one resolution level. Forces are restricted to
+    ``mask`` (ones when unmasked) and updates that would fold the transform
+    (det J < jac_min) are rejected voxel-wise."""
     gx, gy, gz = jnp.gradient(fixed)
     grad_sq = gx * gx + gy * gy + gz * gz
 
     def body(_, dvf):
         warped = warp_volume(moving, dvf)
-        diff = warped - fixed
+        diff = (warped - fixed) * mask
         # Thirion demons force (images are pre-normalised to ~[0, 1])
         denom = grad_sq + diff * diff + 1e-9
         scale = -tau * diff / denom
         update = jnp.stack([gx * scale, gy * scale, gz * scale])
         update = _blur3d(update, k_fluid)
-        dvf = _blur3d(dvf + update, k_diff)
-        return dvf
+        new_dvf = _blur3d(dvf + update, k_diff)
+        if use_jacobian:
+            folded = jacobian_determinant(new_dvf) < jac_min
+            new_dvf = jnp.where(folded[None], dvf, new_dvf)
+        return new_dvf
 
     return jax.lax.fori_loop(0, iterations, body, dvf)
 
@@ -124,12 +151,28 @@ def register(
     moving: np.ndarray,
     fixed: np.ndarray,
     parameters: DemonsParameters | None = None,
+    moving_mask: np.ndarray | None = None,
+    fixed_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Register moving -> fixed; returns the displacement field [3, x, y, z]
-    (voxel units) such that ``warp_volume(moving, dvf) ~= fixed``."""
+    (voxel units) such that ``warp_volume(moving, dvf) ~= fixed``.
+
+    When masks are given the demons forces act only inside their (slightly
+    blurred) union, like the reference's masked vroc registration for
+    correspondence-model building (cbctmc/registration/
+    correspondence.py:325-330)."""
     p = parameters or DemonsParameters()
     fixed = jnp.asarray(fixed, jnp.float32)
     moving = jnp.asarray(moving, jnp.float32)
+
+    mask_full = None
+    if moving_mask is not None or fixed_mask is not None:
+        m = np.zeros(fixed.shape, np.float32)
+        if moving_mask is not None:
+            m = np.maximum(m, np.asarray(moving_mask, np.float32))
+        if fixed_mask is not None:
+            m = np.maximum(m, np.asarray(fixed_mask, np.float32))
+        mask_full = jnp.asarray(m)
 
     # intensity normalisation for a stable force magnitude
     lo, hi = jnp.percentile(fixed, jnp.array([1.0, 99.0]))
@@ -156,9 +199,17 @@ def register(
             dvf = _resize3(dvf, (3, *shape)) * ratio[:, None, None, None]
         f_level = _resize3(fixed_n, shape)
         m_level = _resize3(moving_n, shape)
+        if mask_full is not None:
+            mask_level = _blur3d(
+                _resize3(mask_full, shape), k_fluid
+            )
+            mask_level = jnp.clip(mask_level, 0.0, 1.0)
+        else:
+            mask_level = jnp.ones(shape, jnp.float32)
         dvf = _demons_level(
             f_level, m_level, dvf, p.iterations, jnp.float32(p.tau),
-            k_fluid, k_diff,
+            k_fluid, k_diff, mask_level, jnp.float32(p.jacobian_min),
+            p.jacobian_min > 0,
         )
         logger.debug("demons level %d done: shape=%s", i, shape)
 
@@ -174,18 +225,26 @@ def register_phases(
     images: np.ndarray | Sequence[np.ndarray],
     reference_index: int = 2,
     parameters: DemonsParameters | None = None,
+    masks: np.ndarray | Sequence[np.ndarray] | None = None,
+    masked_registration: bool = True,
 ) -> np.ndarray:
     """Register every phase to the reference phase (moving=reference,
     fixed=phase, so that warping the reference geometry with the predicted
     field produces the phase — the correspondence-model convention).
-    Returns [n_phases, 3, x, y, z]."""
+    ``masks`` (per phase, e.g. lung masks) restrict the demons forces as in
+    the reference's masked registration. Returns [n_phases, 3, x, y, z]."""
     images = np.asarray(images)
     reference = images[reference_index]
+    use_masks = masked_registration and masks is not None
     fields = []
     for i, phase in enumerate(images):
         if i == reference_index:
             fields.append(np.zeros((3, *reference.shape), np.float32))
             continue
         logger.info("Registering phase %d to reference %d", i, reference_index)
-        fields.append(register(moving=reference, fixed=phase, parameters=parameters))
+        fields.append(register(
+            moving=reference, fixed=phase, parameters=parameters,
+            moving_mask=masks[reference_index] if use_masks else None,
+            fixed_mask=masks[i] if use_masks else None,
+        ))
     return np.stack(fields)

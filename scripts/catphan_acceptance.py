@@ -49,7 +49,15 @@ def main(images_path, air_path, output_folder, bin_factor, crop_x, start_angle,
     images = np.load(images_path).astype(np.float64)
     air = np.load(air_path).astype(np.float64)
     n_proj = images.shape[0]
-    angles = start_angle + np.arange(n_proj) * 360.0 / n_proj
+    # a partial interleaved run ships the covered angle indices alongside
+    idx_path = images_path.parent / "angle_indices.npy"
+    order_path = images_path.parent / "order.npy"
+    if idx_path.is_file() and order_path.is_file():
+        idx = np.load(idx_path)
+        n_planned = len(np.load(order_path))
+        angles = start_angle + idx * 360.0 / n_planned
+    else:
+        angles = start_angle + np.arange(n_proj) * 360.0 / n_proj
 
     def bin2d(a, f):
         v, u = a.shape[-2] // f * f, a.shape[-1] // f * f
@@ -90,7 +98,11 @@ def main(images_path, air_path, output_folder, bin_factor, crop_x, start_angle,
 
     results = {}
 
-    # primary-only (scatter-free diagnostic)
+    # primary-only (scatter-free diagnostic); stacks are either the legacy
+    # 4-channel format or the compact (primary, total) pair
+    two_channel = images.shape[1] == 2
+    total_images = images[:, 1] if two_channel else images.sum(axis=1)
+    total_air = air[1] if air.shape[0] == 2 else air.sum(axis=0)
     norm_p = prep(images[:, 0], air[0])
     vol_p = engine_volume_to_mc_frame(
         fdk_reconstruct(norm_p, cb, angles, grid=grid)
@@ -99,7 +111,7 @@ def main(images_path, air_path, output_folder, bin_factor, crop_x, start_angle,
     results["primary_only"] = roi_report(vol_p)
 
     # total with own-simulation WPC
-    norm_t = prep(images.sum(axis=1), air.sum(axis=0))
+    norm_t = prep(total_images, total_air)
     wpc = run_wpc_fit(norm_t, cb, angles, grid, n_orders=4)
     vol_t = engine_volume_to_mc_frame(
         fdk_reconstruct(norm_t, cb, angles, grid=grid,

@@ -1,0 +1,92 @@
+"""Run the fit-noise calibration to a recorded result.
+
+The reference's calibration (scripts/fit_noise.py:304-323) swept water-
+phantom simulations at 894 projections, fitted std(n) = a/sqrt(n) + c in
+the reconstruction domain and solved for the count matching the measured
+Varian water-ROI noise — yielding the production default n_histories =
+11 903 320 312 (cbctmc/defaults.py:52).
+
+This runner performs the same fit on a single TPU chip with a reduced
+number of projections; since the FDK noise variance scales like
+1/(n_views * n_histories), the calibrated per-projection count is scaled
+by (n_views / 894) to report the 894-view equivalent. The A/sqrt(n)
+extrapolation below the sampled counts is the same extrapolation the
+reference's plot-based fit performs.
+
+Usage (TPU):
+    python scripts/run_noise_fit.py --output-folder runs/noise_fit \
+        --n-projections 120 --counts 4e6 1.6e7 6.4e7
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import click
+
+
+@click.command()
+@click.option("--output-folder", type=click.Path(path_type=Path), required=True)
+@click.option("--n-projections", type=int, default=120)
+@click.option("--counts", type=float, nargs=3, default=(4e6, 1.6e7, 6.4e7))
+@click.option("--phantom-xy", type=int, default=400)
+@click.option("--phantom-z", type=int, default=120)
+@click.option("--n-lanes", type=int, default=1 << 20)
+def main(output_folder, n_projections, counts, phantom_xy, phantom_z, n_lanes):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+
+    import numpy as np
+
+    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.pipeline.noise_fit import (
+        fit_noise_law,
+        simulate_and_reconstruct_water,
+    )
+    from cbctmc_tpu.physics.reference_values import (
+        REFERENCE_ROI_STATS_CATPHAN604_VARIAN,
+    )
+
+    output_folder = Path(output_folder)
+    output_folder.mkdir(parents=True, exist_ok=True)
+    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=8,
+                          event_fraction=0.5)
+    target_std = REFERENCE_ROI_STATS_CATPHAN604_VARIAN["water"]["std"]
+
+    stds, results = [], {}
+    for i, n in enumerate(int(c) for c in counts):
+        stats = simulate_and_reconstruct_water(
+            n, n_projections=n_projections,
+            phantom_shape=(phantom_xy, phantom_xy, phantom_z),
+            seed=1000 + i, engine_config=config,
+        )
+        stds.append(stats["water"]["std"])
+        results[n] = stats
+        with open(output_folder / "roi_stats.json", "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"n={n:.3e} -> water std {stds[-1]:.6e}", flush=True)
+
+    a, c = fit_noise_law([int(x) for x in counts], stds)
+    best_n_at_views = (a / max(target_std - c, 1e-9)) ** 2
+    best_n_894 = best_n_at_views * n_projections / 894.0
+    summary = {
+        "fit_a": a,
+        "fit_c": c,
+        "target_std": target_std,
+        "n_projections": n_projections,
+        "best_n_histories_at_n_projections": float(best_n_at_views),
+        "best_n_histories_894_view_equivalent": float(best_n_894),
+        "reference_value": 11_903_320_312,
+        "samples": {str(int(n)): s for n, s in zip(counts, stds)},
+    }
+    with open(output_folder / "noise_fit.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -250,3 +250,27 @@ def test_geometry_from_ct_with_provided_segmentations(tmp_path):
     assert geometry.materials[5, 5, 5] == ts.material("lung").number
     # body elsewhere -> soft tissue
     assert geometry.materials[14, 14, 14] == ts.material("soft_tissue").number
+
+
+def test_forward_projection_4d(tmp_path, tiny_setup):
+    """The 4D speedup input: per-angle forward projection of the WARPED
+    geometry each projection was simulated with (reference:
+    scripts/run_mc_simulations.py:491-556)."""
+    # reuse the 4D simulation artifacts
+    test_mc_simulation_4d(tmp_path, tiny_setup)
+
+    from cbctmc_tpu.cli import _forward_project_geometry_4d
+    from cbctmc_tpu.recon.geometry import ConeBeamGeometry
+
+    geometry, params, config = tiny_setup
+    recon_geom = ConeBeamGeometry(
+        n_pixels_u=24, n_pixels_v=16, pixel_size_u=16.0, pixel_size_v=16.0,
+        detector_offset_u=0.0,
+    )
+    _forward_project_geometry_4d(
+        tmp_path, n_projections=params.n_projections, recon_geometry=recon_geom
+    )
+    fp = _read_projection_stack(tmp_path / "density_fp_4d.mha")
+    assert fp.shape == (params.n_projections, 16, 24)
+    assert np.isfinite(fp).all()
+    assert (fp.sum(axis=(1, 2)) > 0).all()

@@ -159,3 +159,43 @@ def test_demons_recovers_translation():
     # recovered displacement near the blob centre ~ +3 voxels in x
     assert dvf[0, 14:19, 14:19, 14:19].mean() == pytest.approx(3.0, abs=1.2)
     assert abs(dvf[1, 14:19, 14:19, 14:19].mean()) < 1.0
+
+
+def test_demons_masked_and_jacobian():
+    """Masked registration confines forces to the mask; the Jacobian guard
+    keeps the transform fold-free (reference: masked vroc registration,
+    cbctmc/registration/correspondence.py:325-330)."""
+    import jax.numpy as jnp
+
+    from cbctmc_tpu.registration.demons import (
+        DemonsParameters,
+        jacobian_determinant,
+        register,
+        warp_volume,
+    )
+
+    rng = np.random.default_rng(3)
+    shape = (24, 24, 24)
+    base = np.zeros(shape, np.float32)
+    base[8:16, 8:16, 8:16] = 1.0
+    base += rng.normal(scale=0.01, size=shape).astype(np.float32)
+    moved = np.roll(base, 2, axis=0)
+
+    mask = np.zeros(shape, np.float32)
+    mask[4:20, 4:20, 4:20] = 1.0
+
+    params = DemonsParameters(iterations=60, n_levels=2)
+    dvf = register(moving=base, fixed=moved, parameters=params,
+                   moving_mask=mask, fixed_mask=mask)
+    warped = np.asarray(warp_volume(jnp.asarray(base), jnp.asarray(dvf)))
+    err_before = np.abs(base - moved).mean()
+    err_after = np.abs(warped - moved).mean()
+    assert err_after < 0.5 * err_before
+
+    # fold-free transform
+    det = np.asarray(jacobian_determinant(jnp.asarray(dvf)))
+    assert det.min() > 0.0
+
+    # identity field has unit Jacobian
+    det0 = np.asarray(jacobian_determinant(jnp.zeros((3, 8, 8, 8))))
+    np.testing.assert_allclose(det0, 1.0, atol=1e-6)
