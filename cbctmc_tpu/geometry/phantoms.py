@@ -294,28 +294,35 @@ class CIRSPhantomGeometry(MCGeometry):
         materials = np.full(shape, air.number, np.uint8)
         densities = np.full(shape, air.density, np.float32)
 
-        x = (np.arange(nx, dtype=np.float32) - (nx - 1) / 2)[:, None] * sx
-        y = (np.arange(ny, dtype=np.float32) - 130.0)[None, :] * sy
+        # layout in physical mm relative to the volume centre, so any
+        # shape/spacing yields a valid thorax (the default 350x260x142 @
+        # 1 mm grid puts the reference insert centre (238, 141, 71) inside
+        # the right lung)
+        cx_mm = (nx - 1) / 2 * sx
+        cy_mm = ny / 2 * sy
+        x = np.arange(nx, dtype=np.float32)[:, None] * sx - cx_mm
+        y = np.arange(ny, dtype=np.float32)[None, :] * sy - cy_mm
 
-        # body: ellipse 330 x 230 mm of plastic water
-        body = (x / 165.0) ** 2 + (y / 115.0) ** 2 <= 1.0
+        half_w = min(165.0, cx_mm * 0.95)
+        half_h = min(115.0, cy_mm * 0.9)
+
+        # body: ellipse (up to 330 x 230 mm) of plastic water
+        body = (x / half_w) ** 2 + (y / half_h) ** 2 <= 1.0
         body3 = np.repeat(body[:, :, None], nz, axis=2)
         materials[body3] = h2o.number
         densities[body3] = h2o.density
 
         # lungs: two circular compartments at lung-equivalent density
-        for cx in (105.0, 245.0):
-            lung = ((np.arange(nx)[:, None] - cx) * sx) ** 2 + (
-                (np.arange(ny)[None, :] - 138.0) * sy
-            ) ** 2 <= 55.0**2
+        for side in (-1.0, 1.0):
+            lung = (x - side * half_w * 0.42) ** 2 + (
+                y - half_h * 0.07
+            ) ** 2 <= (half_w * 0.34) ** 2
             lung3 = np.repeat(lung[:, :, None], nz, axis=2) & body3
             materials[lung3] = h2o.number
             densities[lung3] = 0.207 * h2o.density
 
         # vertebral insert (posterior midline)
-        spine = ((np.arange(nx)[:, None] - (nx - 1) / 2) * sx) ** 2 + (
-            (np.arange(ny)[None, :] - 210.0) * sy
-        ) ** 2 <= 14.0**2
+        spine = x**2 + (y - half_h * 0.7) ** 2 <= min(14.0, half_h * 0.12) ** 2
         spine3 = np.repeat(spine[:, :, None], nz, axis=2) & body3
         materials[spine3] = bone.number
         densities[spine3] = bone.density

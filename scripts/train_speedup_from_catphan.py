@@ -1,0 +1,174 @@
+"""Train the speedup model using the CatPhan acceptance run's projections
+as the high-photon targets: simulate a matching low-photon scan, forward-
+project the density volume, build triplets, train (L1 -> Gaussian NLL),
+evaluate PSNR on held-out views and publish the weights.
+
+The reference's operating points are low=5e7 / high=2.4e9
+(cbctmc/speedup/constants.py:4-5); this run pairs low=6e6 with the
+acceptance run's 1.2e8-history projections (the same 20x noise-amplitude
+ratio regime at a single-chip budget; the per-projection mean
+normalisation makes the net operating-point independent).
+
+Usage (TPU, after run_catphan_simulation + assemble_catphan_parts):
+    python scripts/train_speedup_from_catphan.py \
+        --catphan-folder runs/catphan_r2 --output-folder runs/speedup
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import click
+
+
+@click.command()
+@click.option("--catphan-folder", type=click.Path(path_type=Path), required=True)
+@click.option("--output-folder", type=click.Path(path_type=Path), required=True)
+@click.option("--n-low", type=float, default=6e6)
+@click.option("--n-lanes", type=int, default=1 << 20)
+@click.option("--train-steps", type=int, default=1600)
+@click.option("--pretrain-steps", type=int, default=800)
+@click.option("--batch-size", type=int, default=4)
+@click.option("--patch", type=int, default=256)
+@click.option("--publish/--no-publish", default=True)
+def main(catphan_folder, output_folder, n_low, n_lanes, train_steps,
+         pretrain_steps, batch_size, patch, publish):
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+
+    from cbctmc_tpu.engine.simulate import MCScanner, SimulationParameters
+    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.geometry.phantoms import CatPhan604Geometry
+    from cbctmc_tpu.models.datasets import (
+        SpeedupProjectionDataset,
+        create_speedup_training_example,
+    )
+    from cbctmc_tpu.models.speedup_net import MCSpeedUpNet
+    from cbctmc_tpu.models.training import SpeedupTrainer
+    from cbctmc_tpu.recon.geometry import ConeBeamGeometry
+    from cbctmc_tpu.recon.joseph import project_forward
+
+    catphan_folder = Path(catphan_folder)
+    output_folder = Path(output_folder)
+    triplet_dir = output_folder / "triplets"
+    holdout_dir = output_folder / "holdout"
+    for d in (output_folder, triplet_dir, holdout_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    high = np.load(catphan_folder / "images.npy")[:, 1]  # total channel
+    idx = np.load(catphan_folder / "angle_indices.npy")
+    n_planned = len(np.load(catphan_folder / "order.npy"))
+    angles = 270.0 + idx * 360.0 / n_planned
+    n_views = len(angles)
+    print(f"{n_views} high-photon projections from the acceptance run",
+          flush=True)
+
+    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=8,
+                          event_fraction=0.5)
+    phantom = CatPhan604Geometry(shape=(500, 500, 500),
+                                 image_spacing=(1.0, 1.0, 1.0))
+
+    low_path = output_folder / "low.npy"
+    if not low_path.is_file():
+        params = SimulationParameters(
+            n_histories=int(n_low), n_projections=n_planned,
+            angle_between_projections=360.0 / n_planned,
+        )
+        scanner = MCScanner(
+            phantom.materials, phantom.densities, phantom.image_spacing,
+            parameters=params, engine_config=config,
+        )
+        t0 = time.monotonic()
+        low_imgs, info = scanner.simulate(angles_deg=angles, seed=77,
+                                          progress=False)
+        print(f"low scan: {info.histories_per_second:.3e} hist/s "
+              f"({time.monotonic()-t0:.0f}s)", flush=True)
+        np.save(low_path, low_imgs.sum(axis=1).astype(np.float32))
+    low = np.load(low_path)
+
+    fp_path = output_folder / "fp.npy"
+    if not fp_path.is_file():
+        densities = np.ascontiguousarray(
+            np.rot90(phantom.densities, k=3, axes=(0, 1))
+        )
+        cb = ConeBeamGeometry(
+            n_pixels_u=1848, n_pixels_v=768,
+            pixel_size_u=717.024 / 1848, pixel_size_v=297.984 / 768,
+            detector_offset_u=0.0,
+        )
+        fp = project_forward(densities, cb, angles,
+                             volume_spacing=(1.0, 1.0, 1.0), step_mm=1.0)
+        np.save(fp_path, fp[:, ::-1, :].astype(np.float32))
+    fp = np.load(fp_path)
+
+    if not any(triplet_dir.glob("*_low.npy")):
+        for i in range(n_views):
+            target = holdout_dir if i % 8 == 7 else triplet_dir
+            create_speedup_training_example(
+                low[i], high[i], fp[i], target, stem=f"catphan_{i:03d}"
+            )
+        print("triplets written", flush=True)
+
+    # ------------------------------------------------------------------
+    model = MCSpeedUpNet()
+    trainer = SpeedupTrainer(
+        model, n_pretrain_steps=pretrain_steps, learning_rate=2e-4,
+        output_dir=output_folder / "train", checkpoint_every=400,
+        log_every=100,
+    )
+    dataset = SpeedupProjectionDataset(
+        folder=triplet_dir, batch_size=batch_size, patch_shape=(patch, patch),
+    )
+    batches = iter(dataset)
+    state = trainer.init(jax.random.PRNGKey(0), next(batches))
+    t0 = time.monotonic()
+    state = trainer.fit(state, batches, n_steps=train_steps)
+    print(f"training done in {time.monotonic()-t0:.0f}s", flush=True)
+
+    from cbctmc_tpu.models.checkpoints import save_params
+    from cbctmc_tpu.models.speedup_inference import MCSpeedup
+
+    ckpt = output_folder / "train" / "final.ckpt"
+    save_params(state.params, ckpt)
+    speedup = MCSpeedup(model=model, params=state.params)
+
+    def psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return 10.0 * np.log10(float(b.max()) ** 2 / max(mse, 1e-30))
+
+    import json
+
+    stems = sorted(p.name[:-8] for p in holdout_dir.glob("*_low.npy"))
+    report, gains = {}, []
+    for stem in stems:
+        lo = np.load(holdout_dir / f"{stem}_low.npy")
+        hi = np.load(holdout_dir / f"{stem}_high.npy")
+        f = np.load(holdout_dir / f"{stem}_fp.npy")
+        mean, _, _ = speedup.execute(lo[None], f[None])
+        p_low, p_den = psnr(lo, hi), psnr(mean[0], hi)
+        report[stem] = {"psnr_low": p_low, "psnr_denoised": p_den}
+        gains.append(p_den - p_low)
+        print(f"{stem}: PSNR low={p_low:.2f} denoised={p_den:.2f}", flush=True)
+    report["mean_psnr_gain_db"] = float(np.mean(gains))
+    with open(output_folder / "speedup_eval.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print("mean PSNR gain:", report["mean_psnr_gain_db"], flush=True)
+
+    if publish:
+        import shutil
+
+        asset_dir = Path(__file__).parent.parent / (
+            "cbctmc_tpu/assets/models/speedup"
+        )
+        asset_dir.mkdir(parents=True, exist_ok=True)
+        shutil.copy(ckpt, asset_dir / "default.ckpt")
+        print("published", asset_dir / "default.ckpt", flush=True)
+
+
+if __name__ == "__main__":
+    main()
