@@ -10,8 +10,9 @@ accepted proposals.
 
 Trip counts are sized so the probability of exhausting them is below 1e-5
 per lane (measured in tests/test_samplers.py): the Compton tau rejection
-accepts with probability >~ 2/3, so 12 trips bound exhaustion by (1/3)^12 ~
-2e-6; the Rayleigh Thomson rejection accepts with >~ 2/3 as well. Exhausted
+accepts with probability >~ 0.6 (worst measured case: low-energy, high-Z
+materials), so 16 trips bound exhaustion below 1e-6; the Rayleigh Thomson
+rejection accepts with >~ 2/3. Exhausted
 lanes commit their last proposal - a bias far below Monte-Carlo noise at
 any practical history count.
 
@@ -48,7 +49,7 @@ _SQRT_TWO = 1.4142135623731
 
 # fixed trip counts for the masked rejection iterations (see module docs)
 SOURCE_DIR_TRIPS = 2
-COMPTON_TAU_TRIPS = 12
+COMPTON_TAU_TRIPS = 16
 COMPTON_SHELL_TRIPS = 8
 RAYLEIGH_TRIPS = 12
 
