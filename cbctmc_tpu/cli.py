@@ -140,6 +140,18 @@ def run_mc(
         )
     output_folder = output_folder / simulation_name
 
+    # default to the packaged model assets (the reference defaults to its
+    # assets/models/{segmenter,speedup}/default weights)
+    asset_models = Path(__file__).parent / "assets" / "models"
+    if segmenter_weights is None and (
+        asset_models / "segmenter" / "default.ckpt"
+    ).is_file():
+        segmenter_weights = asset_models / "segmenter" / "default.ckpt"
+    if speedup_weights is None and (
+        asset_models / "speedup" / "default.ckpt"
+    ).is_file():
+        speedup_weights = asset_models / "speedup" / "default.ckpt"
+
     geometry = _load_geometry(
         image_filepath, geometry_filepath, segmenter_weights,
         segmenter_patch_shape, segmenter_patch_overlap,

@@ -239,3 +239,40 @@ def test_experimental_models():
     params = model.init(jax.random.PRNGKey(1), x)["params"]
     out = model.apply({"params": params}, x)
     assert (np.asarray(out[..., 1]) > 0).all()
+
+
+def test_synthetic_ct_generator_trains_segmenter(tmp_path):
+    """The synthetic-anatomy generator (scripts/generate_synthetic_ct.py)
+    produces valid one-hot training cases that drive the production
+    segmenter trainer (the round-2 weight-regeneration path)."""
+    import sys
+    from pathlib import Path as P
+
+    sys.path.insert(0, str(P(__file__).parent.parent / "scripts"))
+    from generate_synthetic_ct import generate_case
+
+    import jax
+
+    from cbctmc_tpu.models.datasets import SegmentationPatchDataset
+    from cbctmc_tpu.models.segmentation import default_segmenter_model
+    from cbctmc_tpu.models.training import SegmentationTrainer
+
+    image, labels = generate_case(seed=5, shape=(48, 40, 32))
+    assert labels.shape[0] == 9
+    np.testing.assert_allclose(labels[:8].sum(axis=0), 1.0)  # softmax part
+    assert labels[6].sum() > 0  # lungs present
+    assert labels[8].sum() > 0  # vessels present
+
+    trainer = SegmentationTrainer(default_segmenter_model(), learning_rate=1e-3)
+    dataset = SegmentationPatchDataset(
+        images=[image], labels=[labels], patch_shape=(32, 32, 32), batch_size=1
+    )
+    batches = iter(dataset)
+    state = trainer.init(jax.random.PRNGKey(0), next(batches))
+    losses = []
+    for _ in range(3):
+        state.params, state.opt_state, loss = trainer._train_step(
+            state.params, state.opt_state, next(batches), 0
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
