@@ -96,13 +96,19 @@ def main(catphan_folder, output_folder, n_low, n_lanes, train_steps,
         densities = np.ascontiguousarray(
             np.rot90(phantom.densities, k=3, axes=(0, 1))
         )
+        # project on a 4x-binned detector grid and upsample: the FP is a
+        # smooth guidance channel and the ray-march cost scales with
+        # rays x steps (TPU gathers price per index)
+        bin_f = 4
         cb = ConeBeamGeometry(
-            n_pixels_u=1848, n_pixels_v=768,
-            pixel_size_u=717.024 / 1848, pixel_size_v=297.984 / 768,
+            n_pixels_u=1848 // bin_f, n_pixels_v=768 // bin_f,
+            pixel_size_u=717.024 / 1848 * bin_f,
+            pixel_size_v=297.984 / 768 * bin_f,
             detector_offset_u=0.0,
         )
         fp = project_forward(densities, cb, angles,
-                             volume_spacing=(1.0, 1.0, 1.0), step_mm=1.0)
+                             volume_spacing=(1.0, 1.0, 1.0), step_mm=2.0)
+        fp = np.repeat(np.repeat(fp, bin_f, axis=1), bin_f, axis=2)
         np.save(fp_path, fp[:, ::-1, :].astype(np.float32))
     fp = np.load(fp_path)
 
