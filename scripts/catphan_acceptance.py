@@ -29,8 +29,10 @@ import click
 @click.option("--pixel-size", type=float, default=0.776,
               help="unbinned detector pixel [mm]")
 @click.option("--detector-offset", type=float, default=-159.856)
+@click.option("--wpc-orders", type=int, default=6,
+              help="water-precorrection polynomial orders (reference: 6)")
 def main(images_path, air_path, output_folder, bin_factor, crop_x, start_angle,
-         pixel_size, detector_offset):
+         pixel_size, detector_offset, wpc_orders):
     import json
 
     import numpy as np
@@ -112,7 +114,7 @@ def main(images_path, air_path, output_folder, bin_factor, crop_x, start_angle,
 
     # total with own-simulation WPC
     norm_t = prep(total_images, total_air)
-    wpc = run_wpc_fit(norm_t, cb, angles, grid, n_orders=4)
+    wpc = run_wpc_fit(norm_t, cb, angles, grid, n_orders=wpc_orders)
     vol_t = engine_volume_to_mc_frame(
         fdk_reconstruct(norm_t, cb, angles, grid=grid,
                         water_precorrection=wpc["coefficients"])
