@@ -141,16 +141,31 @@ def run_mc(
     output_folder = output_folder / simulation_name
 
     # default to the packaged model assets (the reference defaults to its
-    # assets/models/{segmenter,speedup}/default weights)
+    # assets/models/{segmenter,speedup}/default weights) — but only when the
+    # asset carries a passing holdout-eval stamp (default.eval.json); weights
+    # without a recorded quality metric must be passed explicitly
+    from cbctmc_tpu.models.checkpoints import asset_has_passing_stamp
+
     asset_models = Path(__file__).parent / "assets" / "models"
-    if segmenter_weights is None and (
-        asset_models / "segmenter" / "default.ckpt"
-    ).is_file():
-        segmenter_weights = asset_models / "segmenter" / "default.ckpt"
-    if speedup_weights is None and (
-        asset_models / "speedup" / "default.ckpt"
-    ).is_file():
-        speedup_weights = asset_models / "speedup" / "default.ckpt"
+    for name, current in (
+        ("segmenter", segmenter_weights),
+        ("speedup", speedup_weights),
+    ):
+        if current is not None:
+            continue
+        asset_dir = asset_models / name
+        if asset_has_passing_stamp(asset_dir):
+            if name == "segmenter":
+                segmenter_weights = asset_dir / "default.ckpt"
+            else:
+                speedup_weights = asset_dir / "default.ckpt"
+        elif (asset_dir / "default.ckpt").is_file():
+            logger.warning(
+                "packaged %s weights exist but carry no passing quality "
+                "stamp (default.eval.json); not using them as a default — "
+                "pass --%s-weights explicitly to override",
+                name, name.replace("_", "-"),
+            )
 
     geometry = _load_geometry(
         image_filepath, geometry_filepath, segmenter_weights,

@@ -210,8 +210,12 @@ class MCScanner:
         images = np.zeros((n_proj, 4, npz, npx), np.float64)
         key = jax.random.PRNGKey(seed)
 
-        # adaptive chunk size: measured on the pilot, then time-targeted
+        # adaptive chunk size: measured on the pilot, then time-targeted.
+        # The calibration syncs the device, so it runs exactly once (first
+        # projection's first two chunks) and never again — later
+        # projections run fully pipelined (drain(1) below)
         chunk_size = min(PILOT_CHUNK, n_histories)
+        calibrated = False
 
         t0 = time.monotonic()
         # per-projection tallies accumulate ON DEVICE (f32; the per-chunk
@@ -251,7 +255,7 @@ class MCScanner:
                 acc = img if acc is None else acc + img
                 done += chunk
                 chunk_idx += 1
-                if chunk_idx <= 2 and done < n_histories:
+                if not calibrated and chunk_idx <= 2 and done < n_histories:
                     # pilot timing needs a sync; the FIRST chunk's time
                     # includes the XLA compile, so the clean rate is taken
                     # from the second chunk - later chunks run free
@@ -262,6 +266,7 @@ class MCScanner:
                         chunk_size = int(
                             max(PILOT_CHUNK, rate * TARGET_SECONDS_PER_CALL)
                         )
+                        calibrated = True
             pending.append((i, acc))
             drain(1)  # keep one projection in flight
             if progress:

@@ -463,9 +463,11 @@ def run_projection(
     if config.rng_impl is not None:
         # derive a fast counter-based key for the bulk uniforms from the
         # caller's key (sequence splitting as in the reference's RANECU
-        # leap-frog, MC-GPU_kernel_v1.3.cu:812-894, but counter-based)
-        seed = jax.random.bits(key, (), jnp.uint32)
-        key = jax.random.key(seed, impl=config.rng_impl)
+        # leap-frog, MC-GPU_kernel_v1.3.cu:812-894, but counter-based).
+        # The full 128-bit key state is derived (not a 32-bit seed) so
+        # independent chunks cannot birthday-collide onto identical streams.
+        key_data = jax.random.bits(key, (4,), jnp.uint32)
+        key = jax.random.wrap_key_data(key_data, impl=config.rng_impl)
 
     def ebin_of(energy):
         return jnp.clip(
@@ -788,6 +790,10 @@ def run_projection(
             shell_cat, onehot_e,
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST keeps the f32 shell_f/ui/j0 operand exact on TPU (the
+            # default truncates inputs to bf16, ~0.3% error in binding
+            # energies); the one-hot operand makes the fetch bit-exact
+            precision=jax.lax.Precision.HIGHEST,
         )  # [3*s_max, c_e] shell-major
         new_e_c, costh_c = samplers.compton_scatter_rows(
             k_comp, e_e, s0_e,

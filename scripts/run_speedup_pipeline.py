@@ -114,6 +114,12 @@ def main(output_folder, n_views, n_low, n_high, n_lanes, train_steps,
             # vs the FP convention (cf. cli._forward_project_geometry)
             fp = fp[:, ::-1, :]
 
+            # clear any partial triplets from a crashed earlier run before
+            # regenerating — otherwise stale files silently mix into the
+            # training glob on rerun
+            for d in (triplet_dir, holdout_dir):
+                for stale in d.glob(f"{name}_*"):
+                    stale.unlink()
             low_total = low.sum(axis=1)
             high_total = high.sum(axis=1)
             for i in range(n_views):
@@ -178,14 +184,18 @@ def main(output_folder, n_views, n_low, n_high, n_lanes, train_steps,
     print("mean PSNR gain:", report["mean_psnr_gain_db"], flush=True)
 
     if publish:
-        import shutil
+        from cbctmc_tpu.models.checkpoints import publish_weights
 
-        asset_dir = Path(__file__).parent.parent / (
-            "cbctmc_tpu/assets/models/speedup"
+        publish_weights(
+            ckpt,
+            Path(__file__).parent.parent / "cbctmc_tpu/assets/models/speedup",
+            report,
+            lambda r: (
+                r["mean_psnr_gain_db"] > 0.0,
+                f"mean holdout PSNR gain {r['mean_psnr_gain_db']:+.2f} dB "
+                "(gate: > 0 dB)",
+            ),
         )
-        asset_dir.mkdir(parents=True, exist_ok=True)
-        shutil.copy(ckpt, asset_dir / "default.ckpt")
-        print("published", asset_dir / "default.ckpt", flush=True)
 
 
 if __name__ == "__main__":

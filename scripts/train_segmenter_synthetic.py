@@ -27,9 +27,14 @@ import click
 @click.option("--batch-size", type=int, default=1)
 @click.option("--learning-rate", type=float, default=3e-4)
 @click.option("--publish/--no-publish", default=True,
-              help="copy the final checkpoint into the package assets")
+              help="copy the final checkpoint into the package assets "
+                   "(gated on held-out Dice)")
+@click.option("--n-holdout", type=int, default=2,
+              help="volumes held out of training for the Dice eval")
+@click.option("--min-dice", type=float, default=0.5,
+              help="publication gate: mean held-out foreground Dice")
 def main(data_dir, output_dir, n_steps, patch_shape, batch_size,
-         learning_rate, publish):
+         learning_rate, publish, n_holdout, min_dice):
     import jax
     import numpy as np
 
@@ -40,7 +45,15 @@ def main(data_dir, output_dir, n_steps, patch_shape, batch_size,
     data_dir = Path(data_dir)
     images = [np.load(p) for p in sorted(data_dir.glob("image_*.npy"))]
     labels = [np.load(p) for p in sorted(data_dir.glob("labels_*.npy"))]
-    print(f"{len(images)} training volumes", flush=True)
+    # last n_holdout volumes are never seen in training (the reference
+    # trainer splits train/test datasets: cbctmc/segmentation/trainer.py)
+    holdout_images, holdout_labels = [], []
+    if n_holdout > 0 and len(images) > n_holdout:
+        holdout_images = images[-n_holdout:]
+        holdout_labels = labels[-n_holdout:]
+        images, labels = images[:-n_holdout], labels[:-n_holdout]
+    print(f"{len(images)} training volumes, {len(holdout_images)} held out",
+          flush=True)
 
     model = default_segmenter_model()
     trainer = SegmentationTrainer(
@@ -64,15 +77,58 @@ def main(data_dir, output_dir, n_steps, patch_shape, batch_size,
 
     state = trainer.fit(state, batches, n_steps=n_steps, callback=progress)
 
-    if publish:
-        import shutil
+    # ------------------------------------------------------------------
+    # held-out per-label Dice via the production full-volume inference path
+    # (patch extract + stitch), mirroring the reference's train/test split
+    import json
 
-        asset_dir = Path(__file__).parent.parent / (
-            "cbctmc_tpu/assets/models/segmenter"
+    from cbctmc_tpu.models.segmentation import (
+        LABELS, MCSegmenter, N_SOFTMAX_LABELS,
+    )
+
+    report = {"n_steps": n_steps, "n_train": len(images),
+              "n_holdout": len(holdout_images), "per_volume": []}
+    dices = []
+    segmenter = MCSegmenter(
+        model=model, params=state.params,
+        patch_shape=tuple(patch_shape), patch_overlap=0.25,
+    )
+    for vi, (img, lab) in enumerate(zip(holdout_images, holdout_labels)):
+        pred, _ = segmenter.segment(img)
+        pred = pred[:, : img.shape[0], : img.shape[1], : img.shape[2]]
+        vol = {}
+        for li, name in LABELS.items():
+            p = pred[li] > 0.5
+            g = lab[li] > 0.5
+            denom = p.sum() + g.sum()
+            dice = float(2.0 * np.logical_and(p, g).sum() / denom) \
+                if denom else 1.0
+            vol[name] = dice
+            if li > 0 and li != N_SOFTMAX_LABELS - 1:  # fg, skip "other"
+                dices.append(dice)
+        report["per_volume"].append(vol)
+        print(f"holdout {vi}: " + ", ".join(
+            f"{k}={v:.3f}" for k, v in vol.items()), flush=True)
+    report["mean_foreground_dice"] = float(np.mean(dices)) if dices else 0.0
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    with open(Path(output_dir) / "segmenter_eval.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print("mean held-out foreground Dice:", report["mean_foreground_dice"],
+          flush=True)
+
+    if publish:
+        from cbctmc_tpu.models.checkpoints import publish_weights
+
+        publish_weights(
+            Path(output_dir) / "final.ckpt",
+            Path(__file__).parent.parent / "cbctmc_tpu/assets/models/segmenter",
+            report,
+            lambda r: (
+                r["mean_foreground_dice"] >= min_dice,
+                f"mean held-out foreground Dice "
+                f"{r['mean_foreground_dice']:.3f} (gate: >= {min_dice})",
+            ),
         )
-        asset_dir.mkdir(parents=True, exist_ok=True)
-        shutil.copy(Path(output_dir) / "final.ckpt", asset_dir / "default.ckpt")
-        print("published", asset_dir / "default.ckpt", flush=True)
 
 
 if __name__ == "__main__":

@@ -166,14 +166,18 @@ def main(catphan_folder, output_folder, n_low, n_lanes, train_steps,
     print("mean PSNR gain:", report["mean_psnr_gain_db"], flush=True)
 
     if publish:
-        import shutil
+        from cbctmc_tpu.models.checkpoints import publish_weights
 
-        asset_dir = Path(__file__).parent.parent / (
-            "cbctmc_tpu/assets/models/speedup"
+        publish_weights(
+            ckpt,
+            Path(__file__).parent.parent / "cbctmc_tpu/assets/models/speedup",
+            report,
+            lambda r: (
+                r["mean_psnr_gain_db"] > 0.0,
+                f"mean holdout PSNR gain {r['mean_psnr_gain_db']:+.2f} dB "
+                "(gate: > 0 dB)",
+            ),
         )
-        asset_dir.mkdir(parents=True, exist_ok=True)
-        shutil.copy(ckpt, asset_dir / "default.ckpt")
-        print("published", asset_dir / "default.ckpt", flush=True)
 
 
 if __name__ == "__main__":
