@@ -124,19 +124,21 @@ def compton_scatter_rows(
     j0 = j0_rows
 
     # --- masked rejection sampling of tau ------------------------------
-    # all trip uniforms generated in one call; trips unrolled so the whole
-    # rejection loop fuses into a handful of kernels
+    # ALL trip uniforms come from one RngBitGenerator call and only [n]
+    # vectors are carried between trips (tau, cdt1, accepted); the [s_max,
+    # n] profile terms are single-use per trip and recomputed once after
+    # the loop. Both choices exist so XLA can fuse the whole unrolled
+    # rejection into a handful of kernels that read the [s_max, n] shell
+    # rows from HBM once instead of per trip - the shell-row traffic, not
+    # the transcendentals, dominated the event stage before
     k_tau, k_shell, key = jax.random.split(key, 3)
-    tau_keys = jax.random.split(k_tau, COMPTON_TAU_TRIPS)
+    u_tau = uniform_open(k_tau, (3 * COMPTON_TAU_TRIPS, n))
 
     tau0 = jnp.ones((n,), jnp.float32)
-    tau, cdt1, s = tau0, tau0, jnp.ones((n,), jnp.float32)
-    rn = jnp.zeros((s_max, n))
+    tau, cdt1 = tau0, tau0
     accepted = ~mask
     for i in range(COMPTON_TAU_TRIPS):
-        # per-trip keys: slicing a [trips, 3, n] tensor costs a relayout
-        # copy per slice on TPU
-        u1, u2, u3 = uniform_open(tau_keys[i], (3, n))
+        u1, u2, u3 = u_tau[3 * i], u_tau[3 * i + 1], u_tau[3 * i + 2]
         tau_prop = jnp.where(
             u1 * a2 < a1,
             jnp.power(taumin, u2),
@@ -158,18 +160,21 @@ def compton_scatter_rows(
         take = accept_now | (~accepted & (i == COMPTON_TAU_TRIPS - 1))
         tau = jnp.where(take, tau_prop, tau)
         cdt1 = jnp.where(take, cdt1_prop, cdt1)
-        s = jnp.where(take, s_prop, s)
-        rn = jnp.where(take[None, :], rn_prop, rn)
         accepted = accepted | accept_now
     costh = 1.0 - cdt1
 
     # --- target shell + Doppler-broadened momentum ---------------------
-    rn_weighted = f_open * jnp.where(open_shell, rn, 0.0)
+    # recompute the profile terms once at the accepted angle (identical
+    # math to the taken trip's values)
+    pz_final = _shell_pzomc(energy[None, :], ui, j0, cdt1[None, :])
+    rn = _profile_cdf_complement_terms(pz_final)
+    rn_weighted = jnp.where(open_shell, f_open * rn, 0.0)
+    s = jnp.sum(rn_weighted, axis=0)
     cum = jnp.cumsum(rn_weighted, axis=0)
     last_open = jnp.maximum(jnp.sum(open_shell.astype(jnp.int32), axis=0) - 1, 0)
     shell_iota = jnp.arange(s_max, dtype=jnp.int32)[:, None]
 
-    shell_keys = jax.random.split(k_shell, COMPTON_SHELL_TRIPS)
+    u_shell = uniform_open(k_shell, (3 * COMPTON_SHELL_TRIPS, n))
 
     def shell_trip(i, carry, u1, u2, u3):
         pzomc, ishell, accepted = carry
@@ -211,7 +216,9 @@ def compton_scatter_rows(
 
     carry = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.int32), ~mask)
     for i in range(COMPTON_SHELL_TRIPS):
-        carry = shell_trip(i, carry, *uniform_open(shell_keys[i], (3, n)))
+        carry = shell_trip(
+            i, carry, u_shell[3 * i], u_shell[3 * i + 1], u_shell[3 * i + 2]
+        )
     pzomc, _, _ = carry
 
     # --- scattered photon energy ---------------------------------------
@@ -282,7 +289,9 @@ def rayleigh_scatter_rows(
 
     iota = jnp.arange(NP_RAYLEIGH, dtype=jnp.int32)[None, :]
 
-    ray_keys = jax.random.split(key, RAYLEIGH_TRIPS)
+    # one RngBitGenerator call for all trips (fusion across trips keeps the
+    # [n, 128] RITA rows resident instead of re-reading them per trip)
+    u_ray = uniform_open(key, (3 * RAYLEIGH_TRIPS, n))
 
     def trip(i, carry, u1, u2, u3):
         costh, accepted = carry
@@ -323,7 +332,7 @@ def rayleigh_scatter_rows(
 
     carry = (jnp.ones((n,), jnp.float32), ~mask)
     for i in range(RAYLEIGH_TRIPS):
-        carry = trip(i, carry, *uniform_open(ray_keys[i], (3, n)))
+        carry = trip(i, carry, u_ray[3 * i], u_ray[3 * i + 1], u_ray[3 * i + 2])
     costh, accepted = carry
     costh = jnp.where(mask, costh, 1.0)
     if return_accepted:
@@ -415,7 +424,7 @@ def sample_source_direction(
     the rejection stays unbiased).
     """
 
-    src_keys = jax.random.split(key, SOURCE_DIR_TRIPS)
+    u_src = uniform_open(key, (2 * SOURCE_DIR_TRIPS, n))
 
     def trip(i, carry, u1, u2):
         dx, dy, dz, accepted = carry
@@ -434,7 +443,7 @@ def sample_source_direction(
     zeros = jnp.zeros((n,), jnp.float32)
     carry = (zeros, jnp.ones((n,), jnp.float32), zeros, jnp.zeros((n,), bool))
     for i in range(SOURCE_DIR_TRIPS):
-        carry = trip(i, carry, *uniform_open(src_keys[i], (2, n)))
+        carry = trip(i, carry, u_src[2 * i], u_src[2 * i + 1])
     dx, dy, dz, accepted = carry
 
     # rotate the +Y-frame sample into the beam direction

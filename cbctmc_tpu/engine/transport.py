@@ -595,7 +595,9 @@ def run_projection(
         inv_t_cand, mfp_wc_cand, mfp_air_cand = flight_derived(rows_c, e_cand)
 
         # ---------------- 3. Woodcock virtual-event flights --------------
-        flight_keys = jax.random.split(k_step, config.max_virtual_trips)
+        # one RngBitGenerator call for all flights' uniforms (per-flight RNG
+        # ops would break kernel fusion across the unrolled flight chain)
+        u_flights = uniform_open(k_step, (2 * config.max_virtual_trips, n))
         active_slots = []  # per-flight utilization (unrolled-loop closure)
 
         def flight(fs, u_step, u_int):
@@ -724,24 +726,27 @@ def run_projection(
               jnp.full((n,), 4 * npix, jnp.int32), zeros, jnp.zeros((n,), bool),
               cand_free0, remaining)
         for i in range(config.max_virtual_trips):
-            u2 = uniform_open(flight_keys[i], (2, n))
-            fs = flight(fs, u2[0], u2[1])
+            fs = flight(fs, u_flights[2 * i], u_flights[2 * i + 1])
         (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
          escaped, k_air, _, vox, mat_evt, randno,
          prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
          _, remaining) = fs
 
         # ---------------- 4. tally: stashed records + parked lanes --------
-        image = s["image"].at[stash_idx].add(
-            jnp.where(stash_valid, stash_energy, 0.0), mode="drop"
-        )
+        # one fused scatter-add for both record sets (scatters price per
+        # op-invocation plus per index; concatenating saves a pass over
+        # the 23 MB image)
         pix, hit = _tally_pixel(
             px, py, pz, dx, dy, dz, detector, n_pixels_x, n_pixels_z
         )
         tally_mask = escaped & hit
         tally_idx = jnp.where(tally_mask, scatter * npix + pix, 4 * npix)
-        image = image.at[tally_idx].add(
-            jnp.where(tally_mask, energy, 0.0), mode="drop"
+        image = s["image"].at[jnp.concatenate([stash_idx, tally_idx])].add(
+            jnp.concatenate([
+                jnp.where(stash_valid, stash_energy, 0.0),
+                jnp.where(tally_mask, energy, 0.0),
+            ]),
+            mode="drop",
         )
 
         # ---------------- 5. real interactions (compacted batch) ----------
@@ -751,18 +756,24 @@ def run_projection(
         valid_e = idx_e < n
         idx_es = jnp.minimum(idx_e, n - 1)
 
-        # two packed gathers fetch all per-event lane state
-        fstack = jnp.stack([energy, randno, prob_delta, mfp_density], axis=1)
-        istack = jnp.stack(
-            [vox, jnp.maximum(ebin, 0) * 32 + mat_evt], axis=1
+        # ONE packed gather fetches all per-event lane state (the int
+        # columns ride along bitcast to f32; scatters/gathers price per
+        # index and per op, so fusing the f32 and i32 fetches halves both)
+        stack = jnp.concatenate(
+            [
+                jnp.stack([energy, randno, prob_delta, mfp_density], axis=1),
+                jax.lax.bitcast_convert_type(
+                    (jnp.maximum(ebin, 0) * 32 + mat_evt)[:, None], jnp.float32
+                ),
+            ],
+            axis=1,
         )
-        fv = fstack[idx_es]
-        iv = istack[idx_es]
+        fv = stack[idx_es]
         e_e, randno_e = fv[:, 0], fv[:, 1]
         pd_e, md_e = fv[:, 2], fv[:, 3]
-        vox_e = iv[:, 0]
-        ebin_e = iv[:, 1] >> 5
-        mat_e = iv[:, 1] & 31
+        em_e = jax.lax.bitcast_convert_type(fv[:, 4], jnp.int32)
+        ebin_e = em_e >> 5
+        mat_e = em_e & 31
 
         rows_e = event_cols[jnp.clip(ebin_e, 0, n_bins - 1)]  # [c_e, 6*n_mats]
         onehot_e = (mat_e[:, None] == mat_iota).astype(jnp.float32)
@@ -822,16 +833,26 @@ def run_projection(
         )
         code_e = jnp.where(want_c, 1, jnp.where(took_r, 2, jnp.where(photo, 3, 0)))
 
+        # one packed scatter returns (energy', cos_theta, branch code) to the
+        # lanes (3 per-index scatters fused into 1)
         energy_before = energy
-        energy = energy.at[idx_e].set(
-            jnp.where(valid_e, new_energy_e, 0.0), mode="drop"
+        staging = jnp.stack(
+            [energy, jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.float32)],
+            axis=1,
+        ).at[idx_e].set(
+            jnp.stack(
+                [
+                    jnp.where(valid_e, new_energy_e, 0.0),
+                    jnp.where(valid_e, costh_e, 1.0),
+                    jnp.where(valid_e, code_e.astype(jnp.float32), 0.0),
+                ],
+                axis=1,
+            ),
+            mode="drop",
         )
-        costh = jnp.ones((n,), jnp.float32).at[idx_e].set(
-            jnp.where(valid_e, costh_e, 1.0), mode="drop"
-        )
-        code = jnp.zeros((n,), jnp.int32).at[idx_e].set(
-            jnp.where(valid_e, code_e, 0), mode="drop"
-        )
+        energy = staging[:, 0]
+        costh = staging[:, 1]
+        code = staging[:, 2].astype(jnp.int32)
         took_compton = code == 1
         took_rayleigh = code == 2
         took_photo = code == 3

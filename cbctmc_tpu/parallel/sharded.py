@@ -122,18 +122,32 @@ def run_scan_sharded(
     This is the framework's full multi-chip step (the analogue of a training
     step for this workload): independent per-(projection-shard, photon-shard)
     transport, photon-axis psum of tallies, projection-axis all_gather.
+
+    ``n_projections`` need not divide the "proj" mesh axis: the projection
+    set is padded to the next multiple (the padded slots run with a zero
+    history budget, which exits the transport loop immediately) and the
+    padding is sliced off the returned stack.
     """
     n_proj_shards = mesh.shape["proj"]
     n_photon_shards = mesh.shape["photons"]
-    if n_projections % n_proj_shards:
-        raise ValueError(
-            f"{n_projections=} not divisible by {n_proj_shards} proj shards"
-        )
+    n_local_proj = -(-n_projections // n_proj_shards)  # ceil
+    p_pad = n_local_proj * n_proj_shards
+    if p_pad != n_projections:
+        def pad_tail(x):
+            reps = jnp.repeat(x[-1:], p_pad - n_projections, axis=0)
+            return jnp.concatenate([jnp.asarray(x), reps], axis=0)
 
-    budgets = jnp.asarray(
-        split_histories(n_histories_per_projection, n_photon_shards).astype(np.int32)
-    )
-    budgets = jnp.tile(budgets[None], (n_proj_shards, 1))
+        source = jax.tree.map(pad_tail, source)
+        detector = jax.tree.map(pad_tail, detector)
+
+    per_photon = split_histories(
+        n_histories_per_projection, n_photon_shards
+    ).astype(np.int32)
+    # [proj_shard, local_proj, photon_shard]; padded projections get budget 0
+    budgets = np.tile(per_photon[None, None], (n_proj_shards, n_local_proj, 1))
+    global_idx = np.arange(p_pad).reshape(n_proj_shards, n_local_proj)
+    budgets[global_idx >= n_projections] = 0
+    budgets = jnp.asarray(budgets)
     keys = jax.vmap(
         lambda i: jax.vmap(lambda j: jax.random.fold_in(jax.random.fold_in(key, i), j))(
             jnp.arange(n_photon_shards)
@@ -144,7 +158,7 @@ def run_scan_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P("proj", "photons"),
+            P("proj", None, "photons"),
             P("proj", "photons"),
             jax.tree.map(lambda _: P("proj"), source),
             jax.tree.map(lambda _: P("proj"), detector),
@@ -153,14 +167,12 @@ def run_scan_sharded(
         check_vma=False,
     )
     def _run(budget_shard, key_shard, source_shard, detector_shard):
-        n_local_proj = n_projections // n_proj_shards
-
         def one(i, acc):
             src_i = jax.tree.map(lambda x: x[i], source_shard)
             det_i = jax.tree.map(lambda x: x[i], detector_shard)
             img = run_projection(
                 tables, woodcock, volume, src_i, det_i,
-                budget_shard[0, 0],
+                budget_shard[0, i, 0],
                 jax.random.fold_in(key_shard[0, 0], i),
                 n_pixels_x=n_pixels_x, n_pixels_z=n_pixels_z, config=config,
             )
@@ -172,7 +184,7 @@ def run_scan_sharded(
         )
         return jax.lax.fori_loop(0, n_local_proj, one, acc)
 
-    return _run(budgets, keys, source, detector)
+    return _run(budgets, keys, source, detector)[:n_projections]
 
 
 def initialize_multi_host(

@@ -93,6 +93,81 @@ def test_sharded_projection_matches_single_device_statistics(scene):
     assert np.median(rel) < 0.2
 
 
+def test_scan_sharded_uneven_projection_split(scene):
+    """n_projections=5 on 2 proj shards: the padded slot must not change
+    the real projections (pad + zero-budget mask; VERDICT r2 item 8)."""
+    tables, woodcock, volume, geom = scene
+    angles = [270.0, 342.0, 54.0, 126.0, 198.0]
+    source, detector = build_scan(geom, angles)
+    source = jax.tree.map(jnp.asarray, source)
+    detector = jax.tree.map(jnp.asarray, detector)
+
+    mesh = make_mesh(n_proj_shards=2)
+    images = run_scan_sharded(
+        mesh, tables, woodcock, volume, source, detector,
+        n_projections=5, n_histories_per_projection=5_000,
+        key=jax.random.PRNGKey(3),
+        n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=CONFIG,
+    )
+    images = np.asarray(images, np.float64)
+    assert images.shape == (5, 4, N_PIX, N_PIX)
+    assert np.isfinite(images).all()
+    assert (images.sum(axis=(1, 2, 3)) > 0).all()
+    # energy conservation per projection: tallied <= emitted
+    assert (images.sum(axis=(1, 2, 3)) <= 5_000 * 60_005.0).all()
+
+
+@pytest.mark.slow
+def test_scan_sharded_realistic_shapes():
+    """Sharded scan at a realistic scene shape: 128^3 water cylinder, the
+    real detector aspect (462x192 = full Varian 1848x768 at 1/4 scale),
+    uneven 3-projection split on the 2x4 mesh (VERDICT r2 item 8: the
+    sharded path had only ever run on 16^3 toys)."""
+    from cbctmc_tpu.geometry.phantoms import WaterPhantomGeometry
+    from cbctmc_tpu.physics.spectrum import default_spectrum
+
+    table_set = default_material_set()
+    tables = build_device_tables(table_set, default_spectrum())
+    phantom = WaterPhantomGeometry(shape=(128, 128, 128), image_spacing=(2.0,) * 3)
+    mats = np.ascontiguousarray(
+        np.rot90(phantom.materials, k=3, axes=(0, 1))
+    ).astype(np.int32) - 1
+    dens = np.ascontiguousarray(np.rot90(phantom.densities, k=3, axes=(0, 1)))
+    max_density = np.zeros(table_set.n_materials, np.float32)
+    np.maximum.at(max_density, mats.reshape(-1), dens.reshape(-1))
+    woodcock = build_woodcock_table(table_set, max_density)
+    volume = make_voxel_volume(mats, dens, (0.2, 0.2, 0.2))
+
+    half = 128 * 2.0 / 2 / 10.0
+    geom = ScanGeometry(
+        n_pixels_x=462, n_pixels_z=192,
+        detector_size_x=71.7024, detector_size_z=29.7984,
+        sdd=150.0, sad=100.0,
+        aperture_phi1=1.481720423651376, aperture_phi2=13.441979314886868,
+        aperture_theta=-1.0,
+        source_position_0=(half, half - 100.0, half),
+    )
+    source, detector = build_scan(geom, [270.0, 30.0, 150.0])
+    source = jax.tree.map(jnp.asarray, source)
+    detector = jax.tree.map(jnp.asarray, detector)
+
+    mesh = make_mesh(n_proj_shards=2)
+    images = run_scan_sharded(
+        mesh, tables, woodcock, volume, source, detector,
+        n_projections=3, n_histories_per_projection=40_000,
+        key=jax.random.PRNGKey(5),
+        n_pixels_x=462, n_pixels_z=192,
+        config=EngineConfig(n_lanes=1 << 12, max_virtual_trips=8),
+    )
+    images = np.asarray(images, np.float64)
+    assert images.shape == (3, 4, 192, 462)
+    assert np.isfinite(images).all()
+    totals = images.sum(axis=(1, 2, 3))
+    assert (totals > 0).all()
+    # rotational symmetry of the centred cylinder: equal totals across views
+    assert totals.max() / totals.min() < 1.1
+
+
 def test_scan_sharded_2d_mesh(scene):
     tables, woodcock, volume, geom = scene
     angles = [270.0, 0.0, 90.0, 180.0]
