@@ -37,6 +37,7 @@ from cbctmc_tpu.engine.tables import (
 )
 from cbctmc_tpu.engine.transport import (
     EngineConfig,
+    LaneState,
     VoxelVolume,
     make_voxel_volume,
     run_projection,
@@ -53,6 +54,19 @@ MAX_CHUNK = 2_000_000_000  # int32-safe per-device history chunk
 # later chunks are sized to the time target.
 PILOT_CHUNK = 2_000_000
 TARGET_SECONDS_PER_CALL = 25.0
+
+
+def _empty_carry(n: int) -> LaneState:
+    """Fresh lane state matching the engine's cold init (all lanes dead)."""
+    z = jnp.zeros((n,), jnp.float32)
+    zi = jnp.zeros((n,), jnp.int32)
+    zb = jnp.zeros((n,), bool)
+    return LaneState(
+        px=z, py=z, pz=z, dx=z, dy=jnp.ones((n,), jnp.float32), dz=z,
+        energy=jnp.full((n,), 1.0e4, jnp.float32), ebin=zi, scatter=zi,
+        alive=zb, pending=zb, k_air=zi, vox=zi, mat_evt=zi,
+        randno=z, prob_delta=z, mfp_density=z,
+    )
 
 
 @dataclasses.dataclass
@@ -236,11 +250,19 @@ class MCScanner:
             done = 0
             chunk_idx = 0
             acc = None
+            # a zero carry (matching the engine's fresh-state init) keeps
+            # the number of distinct traces at two (carry+return_carry for
+            # intermediate chunks, carry+drain for the last one)
+            carry = _empty_carry(self.engine_config.n_lanes)
             while done < n_histories:
                 chunk = min(chunk_size, MAX_CHUNK, n_histories - done)
+                last = done + chunk >= n_histories
                 k = jax.random.fold_in(jax.random.fold_in(key, i), chunk_idx)
                 t_chunk = time.monotonic()
-                img = run_projection(
+                # intermediate chunks stop as soon as their budget is spent
+                # and hand the surviving photons to the next chunk (the
+                # drain tail then runs once per projection, not per chunk)
+                out = run_projection(
                     self.tables,
                     self.woodcock,
                     self.volume,
@@ -251,7 +273,14 @@ class MCScanner:
                     n_pixels_x=npx,
                     n_pixels_z=npz,
                     config=self.engine_config,
+                    carry_in=carry,
+                    return_carry=not last,
                 )
+                if last:
+                    img = out
+                else:
+                    img, extras = out
+                    carry = extras["carry"]
                 acc = img if acc is None else acc + img
                 done += chunk
                 chunk_idx += 1

@@ -330,6 +330,13 @@ class EngineConfig:
     n_lanes: int = 1 << 17  # photon lanes per device
     max_virtual_trips: int = 16  # inner Woodcock flights per outer iteration
     max_outer_iterations: int = 1 << 30  # safety cap
+    # event resolutions per outer iteration (must divide max_virtual_trips).
+    # With 1, a lane that hits a real event early in the flight unroll idles
+    # until the end of the iteration (measured ~14% of all flight slots);
+    # with 2, events from the first half resolve mid-iteration and the lane
+    # resumes flying immediately - Compton lanes read their new energy row
+    # from a third (scatter-built) row pool
+    n_resolves: int = 2
     # Rayleigh events are compacted into a batch of
     # n_lanes * event_fraction lanes per outer iteration; events beyond the
     # budget simply stay pending (the photon waits at its interaction site).
@@ -413,9 +420,38 @@ def _compact_indices(mask: jnp.ndarray, budget: int, fill: int):
     return idx, order
 
 
+class LaneState(NamedTuple):
+    """Per-lane photon state surviving a budget-exhausted engine call.
+
+    Passing the returned carry into the next chunk's ``carry_in`` removes
+    the low-occupancy drain tail (the iterations that finish stragglers
+    after the history budget is spent) from every chunk but the last one
+    of a projection."""
+
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    dz: jnp.ndarray
+    energy: jnp.ndarray
+    ebin: jnp.ndarray
+    scatter: jnp.ndarray
+    alive: jnp.ndarray
+    pending: jnp.ndarray
+    k_air: jnp.ndarray
+    vox: jnp.ndarray
+    mat_evt: jnp.ndarray
+    randno: jnp.ndarray
+    prob_delta: jnp.ndarray
+    mfp_density: jnp.ndarray
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_pixels_x", "n_pixels_z", "config", "return_stats"),
+    static_argnames=(
+        "n_pixels_x", "n_pixels_z", "config", "return_stats", "return_carry"
+    ),
 )
 def run_projection(
     tables: DeviceTables,
@@ -429,6 +465,8 @@ def run_projection(
     n_pixels_z: int,
     config: EngineConfig = EngineConfig(),
     return_stats: bool = False,
+    carry_in: LaneState | None = None,
+    return_carry: bool = False,
 ) -> jnp.ndarray:
     """Simulate one projection; returns the detector image
     f32[4, n_pixels_z, n_pixels_x] with per-pixel deposited energy [eV] for
@@ -443,9 +481,17 @@ def run_projection(
     lane; a lane whose photon escapes mid-iteration stashes its detector
     record and immediately adopts the candidate (its own energy-bin table
     row was prefetched alongside), so flight slots stay busy instead of
-    idling until the next refill. The stash is depth 1: a second escape in
-    the same iteration parks the lane for the regular end-of-iteration
-    tally."""
+    idling until the next refill. The stash is depth 1 per flight
+    sub-phase: with ``config.n_resolves`` > 1 it is flushed at every
+    mid-iteration event resolution, and lanes whose Compton event resolved
+    mid-iteration resume flying immediately with their new energy row read
+    from a scatter-built third row pool.
+
+    Chunked runs: pass ``return_carry=True`` to stop as soon as the budget
+    is spent (skipping the low-occupancy drain tail) and receive the
+    surviving photon state in ``extras["carry"]``; feed it to the next
+    chunk of the SAME projection via ``carry_in``. The final chunk runs
+    without ``return_carry`` and drains every survivor."""
     n = config.n_lanes
     n_mats = tables.n_mats
     npix = n_pixels_x * n_pixels_z
@@ -508,6 +554,8 @@ def run_projection(
         key=key,
         it=jnp.int32(0),
     )
+    if carry_in is not None:
+        state.update(carry_in._asdict())
     if return_stats:
         state["counts"] = jnp.zeros((10,), jnp.float64)  # stash, final, compton,
         # rayleigh, photo, refills, adoptions, flights-active
@@ -516,13 +564,22 @@ def run_projection(
         state["material_dose"] = jnp.zeros((n_mats, 2), jnp.float32)
 
     def cond(s):
-        return ((s["remaining"] > 0) | s["alive"].any()) & (
-            s["it"] < config.max_outer_iterations
+        live = (s["remaining"] > 0) if return_carry else (
+            (s["remaining"] > 0) | s["alive"].any()
         )
+        return live & (s["it"] < config.max_outer_iterations)
+
+    R = max(1, config.n_resolves)
+    if config.max_virtual_trips % R:
+        raise ValueError("n_resolves must divide max_virtual_trips")
+    t_sub = config.max_virtual_trips // R
 
     def body(s):
-        (key, k_src_e, k_src_d, k_cand_e, k_cand_d, k_step, k_comp, k_ray,
-         k_phi) = jax.random.split(s["key"], 9)
+        keys = jax.random.split(s["key"], 6 + 3 * R)
+        key, k_src_e, k_src_d, k_cand_e, k_cand_d, k_step = (
+            keys[0], keys[1], keys[2], keys[3], keys[4], keys[5]
+        )
+        res_keys = keys[6:]
 
         # ---------------- 1. refill dead lanes + candidate pool -----------
         dead = ~s["alive"]
@@ -600,18 +657,27 @@ def run_projection(
         u_flights = uniform_open(k_step, (2 * config.max_virtual_trips, n))
         active_slots = []  # per-flight utilization (unrolled-loop closure)
 
+        # pool-3: flight-row data for lanes whose energy changed at a
+        # mid-iteration resolve (scatter-built there; late-bound closure
+        # variables - each unrolled flight traces with the current pools)
+        inv_t_res = None
+        mfp_wc_res = mfp_air_res = None
+
         def flight(fs, u_step, u_int):
             (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-             escaped, k_air, use_cand, vox, mat_evt, randno,
+             escaped, k_air, use_cand, use_res, vox, mat_evt, randno,
              prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
              cand_free, remaining) = fs
             active = alive & ~pending
-            # adopted lanes read the candidate-pool tables; selecting between
-            # the two static pools per flight avoids carrying a merged
-            # [n_mats, n] array (whose adoption-merge chain XLA would
-            # rematerialise per flight - an O(T^2) blowup)
+            # adopted / resolved lanes read the candidate / resolved row
+            # pools; selecting between static pools per flight avoids
+            # carrying a merged [n_mats, n] array (whose adoption-merge
+            # chain XLA would rematerialise per flight - an O(T^2) blowup)
             mfp_wc = jnp.where(use_cand, mfp_wc_cand, mfp_wc_main)
             mfp_air = jnp.where(use_cand, mfp_air_cand, mfp_air_main)
+            if inv_t_res is not None:
+                mfp_wc = jnp.where(use_res, mfp_wc_res, mfp_wc)
+                mfp_air = jnp.where(use_res, mfp_air_res, mfp_air)
             if return_stats:
                 active_slots.append(jnp.sum(active.astype(jnp.int32)))
 
@@ -673,6 +739,12 @@ def run_projection(
                 jnp.sum(jnp.where(onehot_col, inv_t_cand, 0.0), axis=0),
                 jnp.sum(jnp.where(onehot_col, inv_t_main, 0.0), axis=0),
             )
+            if inv_t_res is not None:
+                inv_tot = jnp.where(
+                    use_res,
+                    jnp.sum(jnp.where(onehot_col, inv_t_res, 0.0), axis=0),
+                    inv_tot,
+                )
             mfp_den = mfp_samp * den
             p_delta = 1.0 - mfp_den * inv_tot
 
@@ -714,42 +786,116 @@ def run_projection(
             scatter = jnp.where(adopt, 0, scatter)
             k_air = jnp.where(adopt, 0, k_air)
             use_cand = use_cand | adopt
+            use_res = use_res & ~adopt  # adopted photon is from the cand pool
 
             return (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                    pending, escaped, k_air, use_cand, vox,
+                    pending, escaped, k_air, use_cand, use_res, vox,
                     mat_evt, randno, prob_delta, mfp_density, stash_idx,
                     stash_energy, stash_valid, cand_free, remaining)
 
         fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-              jnp.zeros((n,), bool), k_air, jnp.zeros((n,), bool), s["vox"],
+              jnp.zeros((n,), bool), k_air, jnp.zeros((n,), bool),
+              jnp.zeros((n,), bool), s["vox"],
               s["mat_evt"], s["randno"], s["prob_delta"], s["mfp_density"],
               jnp.full((n,), 4 * npix, jnp.int32), zeros, jnp.zeros((n,), bool),
               cand_free0, remaining)
-        for i in range(config.max_virtual_trips):
-            fs = flight(fs, u_flights[2 * i], u_flights[2 * i + 1])
-        (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-         escaped, k_air, _, vox, mat_evt, randno,
-         prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
-         _, remaining) = fs
 
-        # ---------------- 4. tally: stashed records + parked lanes --------
-        # one fused scatter-add for both record sets (scatters price per
-        # op-invocation plus per index; concatenating saves a pass over
-        # the 23 MB image)
-        pix, hit = _tally_pixel(
-            px, py, pz, dx, dy, dz, detector, n_pixels_x, n_pixels_z
-        )
-        tally_mask = escaped & hit
-        tally_idx = jnp.where(tally_mask, scatter * npix + pix, 4 * npix)
-        image = s["image"].at[jnp.concatenate([stash_idx, tally_idx])].add(
-            jnp.concatenate([
-                jnp.where(stash_valid, stash_energy, 0.0),
-                jnp.where(tally_mask, energy, 0.0),
-            ]),
-            mode="drop",
+        image = s["image"]
+        counts_acc = s["counts"] if return_stats else None
+        dose_state = (
+            {k: s[k] for k in ("voxel_dose", "material_dose")}
+            if config.tally_dose else None
         )
 
-        # ---------------- 5. real interactions (compacted batch) ----------
+        for r in range(R):
+            for i in range(r * t_sub, (r + 1) * t_sub):
+                fs = flight(fs, u_flights[2 * i], u_flights[2 * i + 1])
+            (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
+             escaped, k_air, use_cand, use_res, vox, mat_evt, randno,
+             prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
+             cand_free, remaining) = fs
+
+            # ------------ 4. tally: stashed records + parked lanes --------
+            # one fused scatter-add for both record sets (scatters price per
+            # op-invocation plus per index; concatenating saves a pass over
+            # the 23 MB image). Parked lanes are dead after their tally;
+            # the stash is freed so the next sub-phase can stash again.
+            pix, hit = _tally_pixel(
+                px, py, pz, dx, dy, dz, detector, n_pixels_x, n_pixels_z
+            )
+            tally_mask = escaped & hit
+            tally_idx = jnp.where(tally_mask, scatter * npix + pix, 4 * npix)
+            image = image.at[jnp.concatenate([stash_idx, tally_idx])].add(
+                jnp.concatenate([
+                    jnp.where(stash_valid, stash_energy, 0.0),
+                    jnp.where(tally_mask, energy, 0.0),
+                ]),
+                mode="drop",
+            )
+            if return_stats:
+                counts_acc = counts_acc + jnp.array([
+                    jnp.sum(stash_valid & (stash_idx < 4 * npix)),
+                    jnp.sum(tally_mask), 0, 0, 0, 0, 0, 0,
+                    jnp.sum(jnp.where(
+                        stash_valid & (stash_idx < 4 * npix), stash_energy, 0.0
+                    )),
+                    jnp.sum(jnp.where(tally_mask, energy, 0.0)),
+                ], dtype=jnp.float64)
+
+            # ------------ 5. real interactions (compacted batch) ----------
+            k_comp, k_ray, k_phi = (
+                res_keys[3 * r], res_keys[3 * r + 1], res_keys[3 * r + 2]
+            )
+            resolved = _resolve(
+                px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
+                pending, vox, mat_evt, randno, prob_delta, mfp_density,
+                k_comp, k_ray, k_phi, dose_state,
+                make_pool=(r < R - 1),
+            )
+            (dx, dy, dz, energy, ebin, scatter, alive, pending,
+             dose_state, res_counts, pool) = resolved
+            if return_stats:
+                counts_acc = counts_acc + res_counts
+            if pool is not None:
+                inv_t_res, mfp_wc_res, mfp_air_res, became_res = pool
+                use_res = (use_res | became_res) & alive
+
+            # re-enter the flight loop with tallied/parked state cleared
+            fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
+                  pending, jnp.zeros((n,), bool), k_air, use_cand, use_res,
+                  vox, mat_evt, randno, prob_delta, mfp_density,
+                  jnp.full((n,), 4 * npix, jnp.int32), zeros,
+                  jnp.zeros((n,), bool), cand_free, remaining)
+
+        if return_stats:
+            counts_acc = counts_acc + jnp.array([
+                0, 0, 0, 0, 0, n_started,
+                s["remaining"] - n_started - remaining,
+                sum(active_slots, start=jnp.int32(0)), 0, 0,
+            ], dtype=jnp.float64)
+
+        extra_state = {}
+        if config.tally_dose:
+            extra_state.update(dose_state)
+        if return_stats:
+            extra_state["counts"] = counts_acc
+
+        return dict(
+            px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+            energy=energy, ebin=ebin, scatter=scatter,
+            alive=alive, pending=pending, k_air=k_air, vox=vox,
+            mat_evt=mat_evt, randno=randno,
+            prob_delta=prob_delta, mfp_density=mfp_density,
+            remaining=remaining, image=image, key=key, it=s["it"] + 1,
+            **extra_state,
+        )
+
+    def _resolve(px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
+                 pending, vox, mat_evt, randno, prob_delta, mfp_density,
+                 k_comp, k_ray, k_phi, dose_state, make_pool):
+        """Resolve the currently pending real events on a stream-compacted
+        batch; returns the updated lane state plus (when ``make_pool``) the
+        scatter-built flight-row pool for lanes whose energy changed."""
         pending = pending & alive
         c_e = config.event_lanes
         idx_e, _ = _compact_indices(pending, c_e, fill=n)
@@ -869,7 +1015,6 @@ def run_projection(
         alive = alive & ~absorbed
 
         # ---------------- dose tallies (optional) -------------------------
-        extra_state = {}
         if config.tally_dose:
             # energy deposited: full energy for photoelectric, interaction
             # loss for Compton (electrons not transported; below-cutoff
@@ -880,16 +1025,19 @@ def run_projection(
             )
             deposit = took_photo | took_compton
             dose_idx = jnp.where(deposit, vox, n_voxels)
-            extra_state["voxel_dose"] = s["voxel_dose"].at[dose_idx].add(
+            voxel_dose = dose_state["voxel_dose"].at[dose_idx].add(
                 jnp.where(deposit, edep, 0.0), mode="drop"
             )
             mat_idx = jnp.where(deposit, mat_evt, n_mats)
-            material_dose = s["material_dose"].at[mat_idx, 0].add(
+            material_dose = dose_state["material_dose"].at[mat_idx, 0].add(
                 jnp.where(deposit, edep, 0.0), mode="drop"
             )
-            extra_state["material_dose"] = material_dose.at[mat_idx, 1].add(
+            material_dose = material_dose.at[mat_idx, 1].add(
                 jnp.where(deposit, edep * edep, 0.0), mode="drop"
             )
+            dose_state = {
+                "voxel_dose": voxel_dose, "material_dose": material_dose
+            }
 
         ebin = jnp.where(took_compton, new_ebin, ebin)
         scatter = jnp.where(
@@ -903,26 +1051,47 @@ def run_projection(
         )
         pending = pending & ~(took_compton | took_rayleigh | took_photo)
 
+        res_counts = None
         if return_stats:
-            extra_state["counts"] = s["counts"] + jnp.array([
-                jnp.sum(stash_valid & (stash_idx < 4 * npix)), jnp.sum(tally_mask),
+            res_counts = jnp.array([
+                0, 0,
                 jnp.sum(took_compton), jnp.sum(took_rayleigh),
-                jnp.sum(took_photo), n_started,
-                s["remaining"] - n_started - remaining,
-                sum(active_slots, start=jnp.int32(0)),
-                jnp.sum(jnp.where(stash_valid & (stash_idx < 4 * npix), stash_energy, 0.0)),
-                jnp.sum(jnp.where(tally_mask, energy, 0.0)),
+                jnp.sum(took_photo), 0, 0, 0, 0, 0,
             ], dtype=jnp.float64)
 
-        return dict(
-            px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
-            energy=energy, ebin=ebin, scatter=scatter,
-            alive=alive, pending=pending, k_air=k_air, vox=vox,
-            mat_evt=mat_evt, randno=randno,
-            prob_delta=prob_delta, mfp_density=mfp_density,
-            remaining=remaining, image=image, key=key, it=s["it"] + 1,
-            **extra_state,
-        )
+        pool = None
+        if make_pool:
+            # flight-row pool for lanes whose energy changed (Compton):
+            # derive the per-material inverse MFPs + majorants on the event
+            # batch, then one packed scatter builds the full-lane pool
+            rows_new = flight_cols[jnp.clip(ebin_of(new_energy_e), 0, n_bins - 1)]
+            inv22_e = (
+                rows_new[:, :n_mats]
+                + new_energy_e[:, None] * rows_new[:, n_mats : 2 * n_mats]
+            )
+            wc_e = (
+                rows_new[:, 2 * n_mats]
+                + new_energy_e * rows_new[:, 2 * n_mats + 1]
+            )
+            air_e = 1.0 / (
+                volume.air_den_max * jnp.maximum(inv22_e[:, air_mat], 1e-30)
+            )
+            payload = jnp.concatenate(
+                [inv22_e, wc_e[:, None], air_e[:, None]], axis=1
+            )
+            pool_flat = jnp.zeros((n, n_mats + 2), jnp.float32).at[idx_e].set(
+                payload, mode="drop"
+            )
+            became_res = took_compton & alive
+            pool = (
+                pool_flat[:, :n_mats].T,  # inv_t_res [n_mats, n]
+                pool_flat[:, n_mats],  # mfp_wc_res
+                pool_flat[:, n_mats + 1],  # mfp_air_res
+                became_res,
+            )
+
+        return (dx, dy, dz, energy, ebin, scatter, alive, pending,
+                dose_state, res_counts, pool)
 
     final = jax.lax.while_loop(cond, body, state)
     image = final["image"].reshape(4, n_pixels_z, n_pixels_x)
@@ -934,6 +1103,8 @@ def run_projection(
         extras["iterations"] = final["it"]
         extras["remaining"] = final["remaining"]
         extras["counts"] = final["counts"]
+    if return_carry:
+        extras["carry"] = LaneState(*(final[k] for k in LaneState._fields))
     if extras:
         return image, extras
     return image
