@@ -81,21 +81,32 @@ def main():
     src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
     det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
 
-    def run(n, seed):
-        img = run_projection(
+    from cbctmc_tpu.engine.simulate import _empty_carry
+
+    def run(n, seed, carry, last):
+        out = run_projection(
             tables, woodcock, volume, src, det,
             jnp.int32(n), jax.random.PRNGKey(seed),
             n_pixels_x=n_pix[0], n_pixels_z=n_pix[1], config=config,
+            carry_in=carry, return_carry=not last,
         )
-        jax.block_until_ready(img)
-        return img
+        if last:
+            jax.block_until_ready(out)
+            return out, None
+        img, extras = out
+        return img, extras["carry"]
 
-    run(min(chunk, 2_000_000), 0)  # compile + warmup
+    # compile + warmup both traces
+    _, c = run(min(chunk, 2_000_000), 0, _empty_carry(config.n_lanes), False)
+    run(min(chunk, 2_000_000), 0, c, True)
 
+    # production shape: chunks hand surviving photons forward; the drain
+    # tail runs once at the end (as MCScanner does per projection)
     t0 = time.monotonic()
     total = 0
+    carry = _empty_carry(config.n_lanes)
     for i in range(n_chunks):
-        run(chunk, i + 1)
+        img, carry = run(chunk, i + 1, carry, last=i == n_chunks - 1)
         total += chunk
     dt = time.monotonic() - t0
     value = total / dt
