@@ -54,7 +54,7 @@ def main():
         shape, spacing_mm = (500, 500, 500), 1.0
         n_pix = (1848, 768)
         config = EngineConfig(
-            n_lanes=1 << 20, max_virtual_trips=8, event_fraction=0.5
+            n_lanes=1 << 20, max_virtual_trips=8, event_fraction=0.35
         )
         chunk, n_chunks = 100_000_000, 3
 

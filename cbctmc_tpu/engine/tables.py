@@ -81,8 +81,60 @@ class DeviceTables(NamedTuple):
         return self.spectrum_cutoff.shape[0]
 
 
+#: shells per material after physics-preserving merging (below). 14 keeps
+#: the incoherent scattering function S(E, theta) within 5e-4 of s0 for
+#: every material over the 6-125 keV grid while cutting the [shells, lanes]
+#: event math ~3x (max raw shell count is 40, mostly near-duplicates).
+MAX_MERGED_SHELLS = 14
+
+
+def _merge_shells(
+    f: np.ndarray, ui: np.ndarray, j0: np.ndarray, max_shells: int
+):
+    """Agglomeratively merge Compton shells with similar (ui, j0).
+
+    Pair cost = reduced occupation * squared log-distance in (ui, j0), so
+    low-occupancy near-duplicates merge first and high-f / deep shells are
+    preserved. Merged values are f-weighted geometric means; summed f keeps
+    S(E, pi) = Z exact. The reference carries every PENELOPE shell
+    (MAX_SHELLS=40, MC-GPU_v1.3.h:62) because per-thread loops are cheap on
+    a GPU; on TPU the [shells, lanes] vector math prices every padded row.
+    """
+    pts = [
+        (float(fi), float(u), float(g))
+        for fi, u, g in zip(f, ui, j0)
+        if fi > 0
+    ]
+    while len(pts) > max_shells:
+        best, bi, bj = np.inf, 0, 1
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                d = (
+                    np.log(pts[i][1] / pts[j][1]) ** 2
+                    + np.log(pts[i][2] / pts[j][2]) ** 2
+                )
+                w = pts[i][0] * pts[j][0] / (pts[i][0] + pts[j][0])
+                if w * d < best:
+                    best, bi, bj = w * d, i, j
+        fi, ui_i, j0_i = pts[bi]
+        fj, ui_j, j0_j = pts[bj]
+        fm = fi + fj
+        um = np.exp((fi * np.log(ui_i) + fj * np.log(ui_j)) / fm)
+        jm = np.exp((fi * np.log(j0_i) + fj * np.log(j0_j)) / fm)
+        pts = [p for k, p in enumerate(pts) if k not in (bi, bj)]
+        pts.append((fm, um, jm))
+    pts.sort(key=lambda p: p[1])
+    return (
+        np.array([p[0] for p in pts], np.float32),
+        np.array([p[1] for p in pts], np.float32),
+        np.array([p[2] for p in pts], np.float32),
+    )
+
+
 def build_device_tables(
-    table_set: MaterialTableSet, spectrum: Spectrum
+    table_set: MaterialTableSet,
+    spectrum: Spectrum,
+    max_merged_shells: int | None = MAX_MERGED_SHELLS,
 ) -> DeviceTables:
     n_mats = table_set.n_materials
     densities = table_set.densities
@@ -108,14 +160,19 @@ def build_device_tables(
     mfp_cr_ab = flat(a_com, b_com, a_ray, b_ray)
     rayleigh_pmax = stack("rayleigh_pmax").T.reshape(-1)
 
-    max_shells = max(m.n_shells for m in table_set.materials)
+    merged = [
+        _merge_shells(m.shell_f, m.shell_ui, m.shell_j0, max_merged_shells)
+        if max_merged_shells else (m.shell_f, m.shell_ui, m.shell_j0)
+        for m in table_set.materials
+    ]
+    max_shells = max(len(f) for f, _, _ in merged)
     shell_f = np.zeros((n_mats, max_shells), np.float32)
     shell_ui = np.full((n_mats, max_shells), np.float32(np.inf))
     shell_j0 = np.full((n_mats, max_shells), np.float32(1.0))
-    for i, m in enumerate(table_set.materials):
-        shell_f[i, : m.n_shells] = m.shell_f
-        shell_ui[i, : m.n_shells] = m.shell_ui
-        shell_j0[i, : m.n_shells] = m.shell_j0
+    for i, (f, ui, j0) in enumerate(merged):
+        shell_f[i, : len(f)] = f
+        shell_ui[i, : len(f)] = ui
+        shell_j0[i, : len(f)] = j0
 
     compton_s0 = _tabulate_compton_s0(
         shell_f, shell_ui, shell_j0, table_set.e0, table_set.de, table_set.n_bins

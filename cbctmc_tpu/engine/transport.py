@@ -337,11 +337,14 @@ class EngineConfig:
     # resumes flying immediately - Compton lanes read their new energy row
     # from a third (scatter-built) row pool
     n_resolves: int = 2
-    # Rayleigh events are compacted into a batch of
-    # n_lanes * event_fraction lanes per outer iteration; events beyond the
-    # budget simply stay pending (the photon waits at its interaction site).
-    # Compton runs full-width masked (its tables arrive via one MXU matmul).
-    event_fraction: float = 0.25
+    # Real events are compacted into a batch of n_lanes * event_fraction
+    # lanes per resolve; events beyond the budget simply stay pending (the
+    # photon waits at its interaction site). The sampler cost scales with
+    # the BUDGET, not the fill - size it just above the measured events
+    # per resolve (~0.29 * n_lanes per resolve at n_resolves=2 on CT
+    # scenes at steady state; 0.18 measurably starves and clogs lanes,
+    # costing ~25% throughput)
+    event_fraction: float = 0.35
     # tally energy deposited per voxel and per material (KERMA approximation,
     # as the reference: electrons are not transported;
     # MC-GPU_kernel_v1.3.cu:391-443, 1522-1563). Adds a voxel-sized f32
@@ -361,7 +364,7 @@ class EngineConfig:
     @property
     def rayleigh_lanes(self) -> int:
         # Rayleigh is ~an order of magnitude rarer than Compton
-        return max(1024, int(self.n_lanes * self.event_fraction / 8))
+        return max(1024, int(self.n_lanes * self.event_fraction / 6))
 
 
 def _flight_col_table(tables: DeviceTables, woodcock: WoodcockTable) -> jnp.ndarray:

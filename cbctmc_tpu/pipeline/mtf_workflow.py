@@ -58,7 +58,9 @@ def simulate_line_pair(
     )
 
     total = crop_half_fan(images.sum(axis=1))
-    normalized = air_normalize(total, air_images[0].sum(axis=0))[:, ::-1, :]
+    # flat-field gets the identical half-fan crop (column alignment)
+    air_total = crop_half_fan(air_images[0].sum(axis=0)[None])[0]
+    normalized = air_normalize(total, air_total)[:, ::-1, :]
 
     p = params
     geometry = ConeBeamGeometry(

@@ -69,7 +69,10 @@ def simulate_and_reconstruct_water(
     from cbctmc_tpu.engine.simulate import crop_half_fan
 
     total = crop_half_fan(images.sum(axis=1))
-    normalized = air_normalize(total, air_images[0].sum(axis=0))
+    # the flat-field needs the identical half-fan crop or the division
+    # misaligns columns (and broadcasts wrong off the default detector)
+    air_total = crop_half_fan(air_images[0].sum(axis=0)[None])[0]
+    normalized = air_normalize(total, air_total)
     # line integrals in 1/mm units for the recon scale
     normalized = normalized[:, ::-1, :]  # undo row flip convention
 

@@ -66,7 +66,7 @@ def main(output_folder, n_views, n_low, n_high, n_lanes, train_steps,
         d.mkdir(parents=True, exist_ok=True)
 
     config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=8,
-                          event_fraction=0.5)
+                          event_fraction=0.35)
 
     scenes = {
         "catphan": CatPhan604Geometry(

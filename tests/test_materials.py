@@ -119,3 +119,46 @@ def test_rita_tables(table_set):
         assert (np.diff(m.rita_p) >= -1e-7).all()
         # limit tables are 1-based and within range
         assert m.rita_itl.min() >= 1 and m.rita_itu.max() <= 128
+
+
+def test_shell_merge_preserves_scattering_function(table_set):
+    """The shell merge in build_device_tables must keep both the electron
+    count (S(E,pi) normalisation) and the full angular incoherent
+    scattering function S(E, theta) within sub-percent of the raw-shell
+    values (reference carries all 40 PENELOPE shells; MC-GPU_v1.3.h:62)."""
+    from cbctmc_tpu.engine.tables import MAX_MERGED_SHELLS, _merge_shells
+
+    def analytic_s(E, cdt1, f, ui, j0):
+        mec2 = 510998.918
+        e = np.asarray(E, np.float64)[..., None]
+        c = np.asarray(cdt1, np.float64)[..., None]
+        open_shell = ui[None] < e
+        u = np.where(open_shell, ui[None], 0.0)
+        aux = e * (e - u) * c
+        pz = (
+            j0[None] * (aux - u * mec2)
+            / (np.sqrt(np.maximum(2 * aux + u * u, 1e-30)) * mec2)
+        )
+        t = (1 / np.sqrt(2) + np.abs(pz) * np.sqrt(2)) ** 2
+        npz = 0.5 * np.exp(np.minimum(0.5 - t, 0.0))
+        npz = np.where(pz > 0, 1 - npz, npz)
+        return np.sum(np.where(open_shell, f[None] * npz, 0.0), axis=-1)
+
+    energies = np.linspace(6e3, 125e3, 12)
+    cdt1 = np.geomspace(1e-5, 2.0, 24)
+    ee, cc = np.meshgrid(energies, cdt1, indexing="ij")
+    for m in table_set.materials:
+        f = np.asarray(m.shell_f, np.float64)
+        ui = np.asarray(m.shell_ui, np.float64)
+        j0 = np.asarray(m.shell_j0, np.float64)
+        fm, um, jm = (
+            np.asarray(a, np.float64)
+            for a in _merge_shells(f, ui, j0, MAX_MERGED_SHELLS)
+        )
+        assert fm.sum() == pytest.approx(f.sum(), rel=1e-6), m.identifier
+        assert len(fm) <= MAX_MERGED_SHELLS
+        s_full = analytic_s(ee.ravel(), cc.ravel(), f, ui, j0)
+        s_merged = analytic_s(ee.ravel(), cc.ravel(), fm, um, jm)
+        s0 = analytic_s(energies, np.full_like(energies, 2.0), f, ui, j0)
+        rel = np.abs(s_merged - s_full).reshape(12, 24) / s0[:, None]
+        assert rel.max() < 2e-3, (m.identifier, rel.max())
