@@ -15,12 +15,18 @@ retired history:
 
 - the voxel grid is packed into ONE u32 per voxel
   (material | air-clearance-level | 24-bit fixed-point density), so each
-  Woodcock flight performs exactly one gather,
-- all energy-indexed physics tables (total/Compton/Rayleigh inverse-MFP
-  linearisation, S(E,pi), Rayleigh pmax, Woodcock majorant) are fetched with
-  ONE wide row-gather per outer iteration (the photon energy is constant
-  between real events), and the 22-material axis is resolved per flight with
-  a free VPU one-hot select,
+  Woodcock flight performs one voxel gather plus one 2-wide gather of the
+  total inverse-MFP (a, b) pair at a fused (energy-bin, material) index
+  (engine v3.1: the previous design gathered [n_mats]-wide rows per
+  iteration and one-hot-selected the material per flight, but XLA
+  rematerialises the select chain into every unrolled flight, re-reading
+  ~180 MB of row data per trip at 1M lanes - the fused-index gather against
+  a ~4 MB table prices a few ns per lane instead),
+- the per-bin Woodcock majorant and air MFPs are gathered per lane once per
+  outer iteration (energy is constant between real events) and refreshed
+  at adoption / mid-iteration Compton resolves,
+- event tables (Compton/Rayleigh inverse-MFP pairs, S(E,pi), Rayleigh pmax)
+  are fetched with ONE 6-wide fused-index gather per compacted event batch,
 - Compton shell tables are fetched with a single one-hot matmul on the MXU,
 - Rayleigh RITA tables are fetched as whole per-material rows once per event
   batch; the interval search becomes a vectorised compare-count and the
@@ -45,8 +51,8 @@ Each outer iteration:
 1. refills dead lanes from the fan-beam source (energy via Walker alias,
    square-field direction rejection, translation to the bbox wall) and
    pre-samples the adoption candidates,
-2. gathers the per-lane energy-bin table rows (lane + candidate pools) and
-   derives the per-material inverse MFPs and majorants,
+2. gathers the per-lane majorant (Woodcock + air) MFPs for the lane and
+   candidate photons,
 3. runs a bounded inner loop of Woodcock virtual events - a single packed
    voxel gather per flight - with escape-stash-adopt handling inline (the
    analogue of the reference's v1.3 "virtual interaction loop"),
@@ -334,8 +340,8 @@ class EngineConfig:
     # With 1, a lane that hits a real event early in the flight unroll idles
     # until the end of the iteration (measured ~14% of all flight slots);
     # with 2, events from the first half resolve mid-iteration and the lane
-    # resumes flying immediately - Compton lanes read their new energy row
-    # from a third (scatter-built) row pool
+    # resumes flying immediately with refreshed majorant MFPs scattered
+    # back from the event batch
     n_resolves: int = 2
     # Real events are compacted into a batch of n_lanes * event_fraction
     # lanes per resolve; events beyond the budget simply stay pending (the
@@ -367,26 +373,35 @@ class EngineConfig:
         return max(1024, int(self.n_lanes * self.event_fraction / 6))
 
 
-def _flight_col_table(tables: DeviceTables, woodcock: WoodcockTable) -> jnp.ndarray:
-    """Per-energy-bin flight table [n_bins, 2*n_mats + 2]: the total
-    inverse-MFP linearisation (a, b) for every material plus the Woodcock
-    majorant (a, b). One row-gather per outer iteration replaces every
-    energy-indexed lookup in the Woodcock loop (the photon energy only
-    changes at real events). Assembled from the device tables at trace time
-    (cheap, once per compiled call)."""
+def _flight_pair_tables(
+    tables: DeviceTables, woodcock: WoodcockTable
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flat flight tables addressed by a fused (energy-bin, material) index.
+
+    Returns ``(sig_pair f32[n_bins*n_mats, 2], wc_pair f32[n_bins, 2],
+    air_pair f32[n_bins, 2])``: the total inverse-MFP linearisation (a, b)
+    at ``idx = ebin * n_mats + mat``, the Woodcock majorant MFP (a, b) per
+    bin, and air's inverse-MFP (a, b) per bin.
+
+    The flight loop gathers the 2-wide (a, b) row per lane-trip directly at
+    the fused index instead of materialising a per-lane [n_mats]-wide row
+    and one-hot-selecting per trip: the one-hot form re-reads ~180 MB of
+    row data per trip at 1M lanes (XLA rematerialises the select chain into
+    every unrolled flight), while the direct gather prices ~a few ns per
+    lane against a ~4 MB table."""
     n_mats = tables.n_mats
-    n_bins = woodcock.a.shape[0]
-    tot = tables.mfp_total_ab.reshape(n_bins, n_mats, 2)
-    return jnp.concatenate(
-        [tot[:, :, 0], tot[:, :, 1], woodcock.a[:, None], woodcock.b[:, None]],
-        axis=1,
-    )
+    tot = tables.mfp_total_ab.reshape(-1, n_mats, 2)
+    sig_pair = tot.reshape(-1, 2)
+    wc_pair = jnp.stack([woodcock.a, woodcock.b], axis=1)
+    air_pair = tot[:, 0, :]  # density-sorted registry: air is material 0
+    return sig_pair, wc_pair, air_pair
 
 
-def _event_col_table(tables: DeviceTables) -> jnp.ndarray:
-    """Per-energy-bin event table [n_bins, 6*n_mats]: Compton and Rayleigh
-    inverse-MFP linearisation (a, b), S(E,pi) and pmax(bin+1) for every
-    material. Gathered once per compacted event batch."""
+def _event_pair_table(tables: DeviceTables) -> jnp.ndarray:
+    """Flat event table f32[n_bins*n_mats, 6] at ``idx = ebin*n_mats+mat``:
+    (compton_a, compton_b, rayleigh_a, rayleigh_b, S(E,pi), pmax(bin+1)).
+    One 6-wide gather per compacted event batch replaces the [c_e, 6*n_mats]
+    row materialisation + six one-hot selects."""
     n_mats = tables.n_mats
     cr = tables.mfp_cr_ab.reshape(-1, n_mats, 4)
     n_bins = cr.shape[0]
@@ -394,9 +409,8 @@ def _event_col_table(tables: DeviceTables) -> jnp.ndarray:
     pmax = tables.rayleigh_pmax.reshape(n_bins, n_mats)
     pmax_next = jnp.concatenate([pmax[1:], pmax[-1:]], axis=0)
     return jnp.concatenate(
-        [cr[:, :, 0], cr[:, :, 1], cr[:, :, 2], cr[:, :, 3], s0, pmax_next],
-        axis=1,
-    )
+        [cr, s0[:, :, None], pmax_next[:, :, None]], axis=2
+    ).reshape(-1, 6)
 
 
 def _shell_cat_table(tables: DeviceTables) -> jnp.ndarray:
@@ -482,13 +496,12 @@ def run_projection(
 
     Lane management: every iteration pre-samples one *candidate* photon per
     lane; a lane whose photon escapes mid-iteration stashes its detector
-    record and immediately adopts the candidate (its own energy-bin table
-    row was prefetched alongside), so flight slots stay busy instead of
-    idling until the next refill. The stash is depth 1 per flight
-    sub-phase: with ``config.n_resolves`` > 1 it is flushed at every
-    mid-iteration event resolution, and lanes whose Compton event resolved
-    mid-iteration resume flying immediately with their new energy row read
-    from a scatter-built third row pool.
+    record and immediately adopts the candidate (its majorant MFPs were
+    prefetched alongside), so flight slots stay busy instead of idling
+    until the next refill. The stash is depth 1 per flight sub-phase: with
+    ``config.n_resolves`` > 1 it is flushed at every mid-iteration event
+    resolution, and lanes whose Compton event resolved mid-iteration resume
+    flying immediately with refreshed majorant MFPs.
 
     Chunked runs: pass ``return_carry=True`` to stop as soon as the budget
     is spent (skipping the low-occupancy drain tail) and receive the
@@ -499,15 +512,13 @@ def run_projection(
     n_mats = tables.n_mats
     npix = n_pixels_x * n_pixels_z
     n_voxels = volume.packed.shape[0]
-    air_mat = 0  # density-sorted registry: air is always material 0
 
-    flight_cols = _flight_col_table(tables, woodcock)
-    event_cols = _event_col_table(tables)
+    sig_pair, wc_pair, air_pair = _flight_pair_tables(tables, woodcock)
+    event_pair = _event_pair_table(tables)
     shell_cat = _shell_cat_table(tables)
     s_max = tables.max_shells
-    n_bins = flight_cols.shape[0]
+    n_bins = wc_pair.shape[0]
     mat_iota = jnp.arange(n_mats, dtype=jnp.int32)[None, :]
-    mat_iota_col = jnp.arange(n_mats, dtype=jnp.int32)[:, None]
 
     if config.rng_impl is not None:
         # derive a fast counter-based key for the bulk uniforms from the
@@ -525,15 +536,17 @@ def run_projection(
             n_bins - 1,
         )
 
-    def flight_derived(rows, energy):
-        """Lane-major per-material total inverse MFP [n_mats, n] plus the
-        Woodcock and air majorant MFPs [n] from a gathered flight row."""
-        inv22 = rows[:, :n_mats] + energy[:, None] * rows[:, n_mats : 2 * n_mats]
-        inv_t = inv22.T  # lane-major: selects read full 8x128 tiles
-        mfp_wc = rows[:, 2 * n_mats] + energy * rows[:, 2 * n_mats + 1]
-        inv_air = jnp.maximum(inv_t[air_mat], 1e-30)
+    def wc_air_of(ebin, energy):
+        """Per-lane Woodcock majorant MFP and air MFP from the per-bin pair
+        tables (two 2-wide gathers + fma; energy only changes at refill,
+        adoption and Compton resolves, where these are recomputed)."""
+        b = jnp.clip(ebin, 0, n_bins - 1)
+        rw = wc_pair[b]
+        ra = air_pair[b]
+        mfp_wc = rw[:, 0] + energy * rw[:, 1]
+        inv_air = jnp.maximum(ra[:, 0] + energy * ra[:, 1], 1e-30)
         mfp_air = 1.0 / (volume.air_den_max * inv_air)
-        return inv_t, mfp_wc, mfp_air
+        return mfp_wc, mfp_air
 
     zeros = jnp.zeros((n,), jnp.float32)
 
@@ -648,11 +661,9 @@ def run_projection(
         cand_free0 = dir_ok
         bulk = remaining >= n
 
-        # ---------------- 2. per-iteration energy-row gathers -------------
-        rows = flight_cols[jnp.clip(ebin, 0, n_bins - 1)]
-        inv_t_main, mfp_wc_main, mfp_air_main = flight_derived(rows, energy)
-        rows_c = flight_cols[jnp.clip(ebin_cand, 0, n_bins - 1)]
-        inv_t_cand, mfp_wc_cand, mfp_air_cand = flight_derived(rows_c, e_cand)
+        # ---------------- 2. per-iteration majorant gathers ---------------
+        mfp_wc0, mfp_air0 = wc_air_of(ebin, energy)
+        mfp_wc_cand, mfp_air_cand = wc_air_of(ebin_cand, e_cand)
 
         # ---------------- 3. Woodcock virtual-event flights --------------
         # one RngBitGenerator call for all flights' uniforms (per-flight RNG
@@ -660,27 +671,12 @@ def run_projection(
         u_flights = uniform_open(k_step, (2 * config.max_virtual_trips, n))
         active_slots = []  # per-flight utilization (unrolled-loop closure)
 
-        # pool-3: flight-row data for lanes whose energy changed at a
-        # mid-iteration resolve (scatter-built there; late-bound closure
-        # variables - each unrolled flight traces with the current pools)
-        inv_t_res = None
-        mfp_wc_res = mfp_air_res = None
-
         def flight(fs, u_step, u_int):
             (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-             escaped, k_air, use_cand, use_res, vox, mat_evt, randno,
+             escaped, k_air, mfp_wc, mfp_air, vox, mat_evt, randno,
              prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
              cand_free, remaining) = fs
             active = alive & ~pending
-            # adopted / resolved lanes read the candidate / resolved row
-            # pools; selecting between static pools per flight avoids
-            # carrying a merged [n_mats, n] array (whose adoption-merge
-            # chain XLA would rematerialise per flight - an O(T^2) blowup)
-            mfp_wc = jnp.where(use_cand, mfp_wc_cand, mfp_wc_main)
-            mfp_air = jnp.where(use_cand, mfp_air_cand, mfp_air_main)
-            if inv_t_res is not None:
-                mfp_wc = jnp.where(use_res, mfp_wc_res, mfp_wc)
-                mfp_air = jnp.where(use_res, mfp_air_res, mfp_air)
             if return_stats:
                 active_slots.append(jnp.sum(active.astype(jnp.int32)))
 
@@ -736,18 +732,10 @@ def run_projection(
 
             word = volume.packed[jnp.clip(nvox, 0, n_voxels - 1)]  # THE gather
             mat, k_new, den = _unpack(word, volume.den_scale)
-            onehot_col = mat[None, :] == mat_iota_col
-            inv_tot = jnp.where(
-                use_cand,
-                jnp.sum(jnp.where(onehot_col, inv_t_cand, 0.0), axis=0),
-                jnp.sum(jnp.where(onehot_col, inv_t_main, 0.0), axis=0),
-            )
-            if inv_t_res is not None:
-                inv_tot = jnp.where(
-                    use_res,
-                    jnp.sum(jnp.where(onehot_col, inv_t_res, 0.0), axis=0),
-                    inv_tot,
-                )
+            # total inverse MFP at (energy-bin, material): one 2-wide gather
+            # against the ~4 MB fused-index table per trip
+            pair = sig_pair[jnp.clip(ebin, 0, n_bins - 1) * n_mats + mat]
+            inv_tot = pair[:, 0] + energy * pair[:, 1]
             mfp_den = mfp_samp * den
             p_delta = 1.0 - mfp_den * inv_tot
 
@@ -788,17 +776,16 @@ def run_projection(
             ebin = jnp.where(adopt, ebin_cand, ebin)
             scatter = jnp.where(adopt, 0, scatter)
             k_air = jnp.where(adopt, 0, k_air)
-            use_cand = use_cand | adopt
-            use_res = use_res & ~adopt  # adopted photon is from the cand pool
+            mfp_wc = jnp.where(adopt, mfp_wc_cand, mfp_wc)
+            mfp_air = jnp.where(adopt, mfp_air_cand, mfp_air)
 
             return (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                    pending, escaped, k_air, use_cand, use_res, vox,
+                    pending, escaped, k_air, mfp_wc, mfp_air, vox,
                     mat_evt, randno, prob_delta, mfp_density, stash_idx,
                     stash_energy, stash_valid, cand_free, remaining)
 
         fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-              jnp.zeros((n,), bool), k_air, jnp.zeros((n,), bool),
-              jnp.zeros((n,), bool), s["vox"],
+              jnp.zeros((n,), bool), k_air, mfp_wc0, mfp_air0, s["vox"],
               s["mat_evt"], s["randno"], s["prob_delta"], s["mfp_density"],
               jnp.full((n,), 4 * npix, jnp.int32), zeros, jnp.zeros((n,), bool),
               cand_free0, remaining)
@@ -814,7 +801,7 @@ def run_projection(
             for i in range(r * t_sub, (r + 1) * t_sub):
                 fs = flight(fs, u_flights[2 * i], u_flights[2 * i + 1])
             (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-             escaped, k_air, use_cand, use_res, vox, mat_evt, randno,
+             escaped, k_air, mfp_wc, mfp_air, vox, mat_evt, randno,
              prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
              cand_free, remaining) = fs
 
@@ -852,20 +839,17 @@ def run_projection(
             resolved = _resolve(
                 px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
                 pending, vox, mat_evt, randno, prob_delta, mfp_density,
-                k_comp, k_ray, k_phi, dose_state,
-                make_pool=(r < R - 1),
+                mfp_wc, mfp_air, k_comp, k_ray, k_phi, dose_state,
+                refresh_mfp=(r < R - 1),
             )
             (dx, dy, dz, energy, ebin, scatter, alive, pending,
-             dose_state, res_counts, pool) = resolved
+             mfp_wc, mfp_air, dose_state, res_counts) = resolved
             if return_stats:
                 counts_acc = counts_acc + res_counts
-            if pool is not None:
-                inv_t_res, mfp_wc_res, mfp_air_res, became_res = pool
-                use_res = (use_res | became_res) & alive
 
             # re-enter the flight loop with tallied/parked state cleared
             fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                  pending, jnp.zeros((n,), bool), k_air, use_cand, use_res,
+                  pending, jnp.zeros((n,), bool), k_air, mfp_wc, mfp_air,
                   vox, mat_evt, randno, prob_delta, mfp_density,
                   jnp.full((n,), 4 * npix, jnp.int32), zeros,
                   jnp.zeros((n,), bool), cand_free, remaining)
@@ -895,10 +879,14 @@ def run_projection(
 
     def _resolve(px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
                  pending, vox, mat_evt, randno, prob_delta, mfp_density,
-                 k_comp, k_ray, k_phi, dose_state, make_pool):
+                 mfp_wc, mfp_air, k_comp, k_ray, k_phi, dose_state,
+                 refresh_mfp):
         """Resolve the currently pending real events on a stream-compacted
-        batch; returns the updated lane state plus (when ``make_pool``) the
-        scatter-built flight-row pool for lanes whose energy changed."""
+        batch; returns the updated lane state. With ``refresh_mfp`` (any
+        mid-iteration resolve) the per-lane majorant MFPs are recomputed on
+        the batch for lanes whose energy changed and scattered back with the
+        event outcome, so those lanes resume flying immediately; the final
+        resolve skips it because the next iteration recomputes them."""
         pending = pending & alive
         c_e = config.event_lanes
         idx_e, _ = _compact_indices(pending, c_e, fill=n)
@@ -924,20 +912,13 @@ def run_projection(
         ebin_e = em_e >> 5
         mat_e = em_e & 31
 
-        rows_e = event_cols[jnp.clip(ebin_e, 0, n_bins - 1)]  # [c_e, 6*n_mats]
+        # one 6-wide gather at the fused (bin, material) index fetches every
+        # per-event table value
+        e6 = event_pair[jnp.clip(ebin_e, 0, n_bins - 1) * n_mats + mat_e]
         onehot_e = (mat_e[:, None] == mat_iota).astype(jnp.float32)
 
-        def sel(block):
-            return jnp.sum(block * onehot_e, axis=1)
-
-        inv_com = sel(
-            rows_e[:, 0 * n_mats : 1 * n_mats]
-            + e_e[:, None] * rows_e[:, 1 * n_mats : 2 * n_mats]
-        )
-        inv_ray = sel(
-            rows_e[:, 2 * n_mats : 3 * n_mats]
-            + e_e[:, None] * rows_e[:, 3 * n_mats : 4 * n_mats]
-        )
+        inv_com = e6[:, 0] + e_e * e6[:, 1]
+        inv_ray = e6[:, 2] + e_e * e6[:, 3]
         p_compton = pd_e + md_e * inv_com
         p_rayleigh = p_compton + md_e * inv_ray
         want_c = valid_e & (randno_e < p_compton)
@@ -945,7 +926,7 @@ def run_projection(
         photo = valid_e & ~want_c & ~want_r
 
         # --- Compton: masked in-batch; shell rows via one MXU matmul -----
-        s0_e = sel(rows_e[:, 4 * n_mats : 5 * n_mats])
+        s0_e = e6[:, 4]
         shell_rows = jax.lax.dot_general(
             shell_cat, onehot_e,
             dimension_numbers=(((0,), (1,)), ((), ())),
@@ -969,7 +950,7 @@ def run_projection(
         valid_r = sub < c_e
         subs = jnp.minimum(sub, c_e - 1)
         took_r = want_r & (order_r < c_r)  # over-budget lanes stay pending
-        pmax_e = sel(rows_e[:, 5 * n_mats : 6 * n_mats])
+        pmax_e = e6[:, 5]
         costh_r = samplers.rayleigh_scatter_rows(
             k_ray, e_e[subs], mat_e[subs], pmax_e[subs], tables, valid_r
         )
@@ -982,26 +963,33 @@ def run_projection(
         )
         code_e = jnp.where(want_c, 1, jnp.where(took_r, 2, jnp.where(photo, 3, 0)))
 
-        # one packed scatter returns (energy', cos_theta, branch code) to the
-        # lanes (3 per-index scatters fused into 1)
+        # one packed scatter returns (energy', cos_theta, branch code [, new
+        # majorant MFPs]) to the lanes (the per-index scatters fuse into 1)
         energy_before = energy
-        staging = jnp.stack(
-            [energy, jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.float32)],
-            axis=1,
-        ).at[idx_e].set(
-            jnp.stack(
-                [
-                    jnp.where(valid_e, new_energy_e, 0.0),
-                    jnp.where(valid_e, costh_e, 1.0),
-                    jnp.where(valid_e, code_e.astype(jnp.float32), 0.0),
-                ],
-                axis=1,
-            ),
-            mode="drop",
+        base_cols = [
+            energy, jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.float32)
+        ]
+        batch_cols = [
+            jnp.where(valid_e, new_energy_e, 0.0),
+            jnp.where(valid_e, costh_e, 1.0),
+            jnp.where(valid_e, code_e.astype(jnp.float32), 0.0),
+        ]
+        if refresh_mfp:
+            mfp_wc_e, mfp_air_e = wc_air_of(ebin_of(new_energy_e), new_energy_e)
+            base_cols += [mfp_wc, mfp_air]
+            batch_cols += [
+                jnp.where(valid_e, mfp_wc_e, 0.0),
+                jnp.where(valid_e, mfp_air_e, 0.0),
+            ]
+        staging = jnp.stack(base_cols, axis=1).at[idx_e].set(
+            jnp.stack(batch_cols, axis=1), mode="drop"
         )
         energy = staging[:, 0]
         costh = staging[:, 1]
         code = staging[:, 2].astype(jnp.int32)
+        if refresh_mfp:
+            mfp_wc = staging[:, 3]
+            mfp_air = staging[:, 4]
         took_compton = code == 1
         took_rayleigh = code == 2
         took_photo = code == 3
@@ -1062,39 +1050,8 @@ def run_projection(
                 jnp.sum(took_photo), 0, 0, 0, 0, 0,
             ], dtype=jnp.float64)
 
-        pool = None
-        if make_pool:
-            # flight-row pool for lanes whose energy changed (Compton):
-            # derive the per-material inverse MFPs + majorants on the event
-            # batch, then one packed scatter builds the full-lane pool
-            rows_new = flight_cols[jnp.clip(ebin_of(new_energy_e), 0, n_bins - 1)]
-            inv22_e = (
-                rows_new[:, :n_mats]
-                + new_energy_e[:, None] * rows_new[:, n_mats : 2 * n_mats]
-            )
-            wc_e = (
-                rows_new[:, 2 * n_mats]
-                + new_energy_e * rows_new[:, 2 * n_mats + 1]
-            )
-            air_e = 1.0 / (
-                volume.air_den_max * jnp.maximum(inv22_e[:, air_mat], 1e-30)
-            )
-            payload = jnp.concatenate(
-                [inv22_e, wc_e[:, None], air_e[:, None]], axis=1
-            )
-            pool_flat = jnp.zeros((n, n_mats + 2), jnp.float32).at[idx_e].set(
-                payload, mode="drop"
-            )
-            became_res = took_compton & alive
-            pool = (
-                pool_flat[:, :n_mats].T,  # inv_t_res [n_mats, n]
-                pool_flat[:, n_mats],  # mfp_wc_res
-                pool_flat[:, n_mats + 1],  # mfp_air_res
-                became_res,
-            )
-
         return (dx, dy, dz, energy, ebin, scatter, alive, pending,
-                dose_state, res_counts, pool)
+                mfp_wc, mfp_air, dose_state, res_counts)
 
     final = jax.lax.while_loop(cond, body, state)
     image = final["image"].reshape(4, n_pixels_z, n_pixels_x)
