@@ -31,10 +31,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from cbctmc_tpu.engine.ct import ScanGeometry, build_scan
-    from cbctmc_tpu.engine.tables import build_device_tables, build_woodcock_table
+    from cbctmc_tpu.engine.tables import build_device_tables
     from cbctmc_tpu.engine.transport import (
         EngineConfig,
-        make_voxel_volume,
+        make_scene,
         run_projection,
     )
     from cbctmc_tpu.geometry.phantoms import CatPhan604Geometry
@@ -63,10 +63,7 @@ def main():
         np.rot90(phantom.materials, k=3, axes=(0, 1))
     ).astype(np.int32) - 1
     dens = np.ascontiguousarray(np.rot90(phantom.densities, k=3, axes=(0, 1)))
-    max_density = np.zeros(table_set.n_materials, np.float32)
-    np.maximum.at(max_density, mats.reshape(-1), dens.reshape(-1))
-    woodcock = build_woodcock_table(table_set, max_density)
-    volume = make_voxel_volume(mats, dens, (spacing_mm / 10.0,) * 3)
+    volume, woodcock = make_scene(table_set, mats, dens, (spacing_mm / 10.0,) * 3)
 
     half = shape[0] * spacing_mm / 2 / 10.0
     geom = ScanGeometry(

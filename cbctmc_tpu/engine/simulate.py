@@ -39,6 +39,7 @@ from cbctmc_tpu.engine.transport import (
     EngineConfig,
     LaneState,
     VoxelVolume,
+    make_scene,
     make_voxel_volume,
     run_projection,
 )
@@ -64,7 +65,7 @@ def _empty_carry(n: int) -> LaneState:
     return LaneState(
         px=z, py=z, pz=z, dx=z, dy=jnp.ones((n,), jnp.float32), dz=z,
         energy=jnp.full((n,), 1.0e4, jnp.float32), ebin=zi, scatter=zi,
-        alive=zb, pending=zb, k_air=zi, vox=zi, mat_evt=zi,
+        alive=zb, pending=zb, k_air=zi, k_soft=zi, vox=zi, mat_evt=zi,
         randno=z, prob_delta=z, mfp_density=z,
     )
 
@@ -158,15 +159,12 @@ class MCScanner:
             mats, dens = materials_1based, densities
             spacing_cm = tuple(s / 10.0 for s in image_spacing_mm)
 
-        max_density = np.zeros(self.table_set.n_materials, np.float32)
         mats0 = mats.astype(np.int32) - 1
-        flat_mats = mats0.reshape(-1)
-        flat_dens = dens.reshape(-1)
-        np.maximum.at(max_density, flat_mats, flat_dens)
-
-        self.volume: VoxelVolume = make_voxel_volume(mats0, dens, spacing_cm)
+        # two-tier Woodcock majorant: full + soft (heavy-free clearance)
+        self.volume, self.woodcock = make_scene(
+            self.table_set, mats0, dens, spacing_cm
+        )
         self.tables: DeviceTables = build_device_tables(self.table_set, self.spectrum)
-        self.woodcock = build_woodcock_table(self.table_set, max_density)
 
         p = self.parameters
         source_position_cm = (

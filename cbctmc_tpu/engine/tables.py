@@ -228,15 +228,86 @@ def _tabulate_compton_s0(
 
 
 class WoodcockTable(NamedTuple):
-    """Per-geometry Woodcock majorant MFP interpolation table:
-    mfp_wc(E) = a[bin] + E * b[bin]."""
+    """Per-geometry Woodcock majorant MFP interpolation tables:
+    mfp(E) = a[bin] + E * b[bin].
+
+    ``(a, b)`` is the classic full-scene majorant (minimum MFP over every
+    material at its scene-max density, reference MC-GPU_v1.3.cu:2293-2296).
+    ``(soft_a, soft_b)`` is a second, *looser* majorant valid only away
+    from "heavy" voxels (bone / teflon / aluminium inserts): CT scenes are
+    dominated by ~water-density tissue, but the full majorant is set by the
+    densest insert, wasting ~2-3x of all Woodcock flights as virtual events
+    in soft tissue. Flights whose soft-clearance level (packed in the voxel
+    word, transport.make_voxel_volume) guarantees a heavy-free box sample
+    against the soft majorant with the step clamped to the clearance radius
+    (clamped steps are null events - delta tracking with a piecewise
+    majorant stays unbiased by the memoryless property)."""
 
     a: jnp.ndarray  # [n_bins]
     b: jnp.ndarray  # [n_bins]
+    soft_a: jnp.ndarray  # [n_bins]
+    soft_b: jnp.ndarray  # [n_bins]
 
 
 def build_woodcock_table(
-    table_set: MaterialTableSet, max_density: np.ndarray
+    table_set: MaterialTableSet,
+    max_density: np.ndarray,
+    soft_max_density: np.ndarray | None = None,
 ) -> WoodcockTable:
     a, b = build_woodcock_coefficients(table_set, max_density)
-    return WoodcockTable(a=jnp.asarray(a), b=jnp.asarray(b))
+    if soft_max_density is not None and (soft_max_density > 0).any():
+        sa, sb = build_woodcock_coefficients(table_set, soft_max_density)
+    else:
+        sa, sb = a, b
+    return WoodcockTable(
+        a=jnp.asarray(a), b=jnp.asarray(b),
+        soft_a=jnp.asarray(sa), soft_b=jnp.asarray(sb),
+    )
+
+
+def split_heavy_voxels(
+    table_set: MaterialTableSet,
+    materials_0based: np.ndarray,
+    densities: np.ndarray,
+    air_material: int = 0,
+    soft_quantile: float = 0.90,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scene-driven majorant split for the two-tier Woodcock scheme.
+
+    A voxel's majorant requirement is its worst-bin total inverse MFP,
+    ``peak(v) = den(v) * max_E sigma_m(v)(E)/rho_nominal``. The soft tier
+    covers at least ``soft_quantile`` of the non-air voxels: the threshold
+    is the quantile of ``peak`` over non-air voxels, and every voxel above
+    it is "heavy" (excluded from the soft majorant and blocked in the
+    soft-clearance field). In a CatPhan/patient scene this lands just above
+    soft tissue, so the bone/teflon/aluminium inserts are heavy and the
+    water-dominated bulk flies against a ~2-3x longer majorant MFP.
+
+    Returns ``(heavy_mask bool[vox], soft_max_density f32[n_mats])`` -
+    feed them to :func:`transport.make_voxel_volume` and
+    :func:`build_woodcock_table` respectively. For a uniform scene the
+    heavy mask is empty and the soft tier degenerates to the full majorant.
+    """
+    inv_peak_perden = np.array(
+        [
+            (1.0 / np.asarray(m.mfp_total, np.float64)).max() / d
+            for m, d in zip(table_set.materials, table_set.densities)
+        ]
+    )
+    mats = materials_0based.reshape(-1)
+    dens = np.asarray(densities, np.float64).reshape(-1)
+    peak = inv_peak_perden[mats] * dens
+    nonair = mats != air_material
+    if not nonair.any():
+        return (
+            np.zeros(materials_0based.shape, bool),
+            np.zeros(table_set.n_materials, np.float32),
+        )
+    tau = float(np.quantile(peak[nonair], soft_quantile))
+    heavy = (peak > tau * (1.0 + 1e-6)).reshape(materials_0based.shape)
+    soft_max_density = np.zeros(table_set.n_materials, np.float32)
+    soft_flat = ~heavy.reshape(-1)
+    np.maximum.at(
+        soft_max_density, mats[soft_flat], dens[soft_flat].astype(np.float32)
+    )
+    return heavy, soft_max_density

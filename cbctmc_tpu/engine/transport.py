@@ -93,7 +93,8 @@ PRIMARY, COMPTON, RAYLEIGH, MULTI = 0, 1, 2, 3
 # packed voxel word layout
 _MAT_SHIFT = 27  # 5 bits material
 _AIR_SHIFT = 24  # 3 bits air-clearance level k (safe box half-size 2^k)
-_DEN_MASK = (1 << 24) - 1  # 24-bit fixed-point density
+_SOFT_SHIFT = 21  # 3 bits soft-clearance level (heavy-free box half-size)
+_DEN_MASK = (1 << 21) - 1  # 21-bit fixed-point density
 _MAX_AIR_LEVEL = 7
 
 
@@ -182,7 +183,16 @@ def make_voxel_volume(
     voxel_size_cm,
     air_material: int = 0,
     max_air_level: int = _MAX_AIR_LEVEL,
+    heavy_mask: np.ndarray | None = None,
 ) -> VoxelVolume:
+    """Pack the scene into per-voxel u32 words.
+
+    ``heavy_mask`` (from :func:`tables.split_heavy_voxels`) marks voxels
+    excluded from the soft Woodcock majorant; the packed word then carries
+    a second clearance level (largest k with a heavy-free (2^k)-box) that
+    lets flights in the water-dominated bulk sample against the looser
+    soft majorant. Omit it to disable the soft tier (level 0 everywhere).
+    """
     nx, ny, nz = materials_0based.shape
     voxel_size = np.asarray(voxel_size_cm, dtype=np.float32)
     bbox = voxel_size * np.array([nx, ny, nz], np.float32)
@@ -200,6 +210,12 @@ def make_voxel_volume(
     else:
         air_den_max = den_scale  # never used: clearance field stays 0
         k_field = np.zeros(materials_0based.shape, np.uint8)
+    if heavy_mask is not None and heavy_mask.any():
+        k_soft_field = _air_clearance_field(
+            np.asarray(heavy_mask, bool), max_air_level
+        )
+    else:
+        k_soft_field = np.zeros(materials_0based.shape, np.uint8)
 
     # tight non-air bounding box in cm (empty box when the scene is all air)
     nonair = ~is_air
@@ -219,6 +235,7 @@ def make_voxel_volume(
     packed = (
         (mats << _MAT_SHIFT)
         | (k_field.astype(np.uint32) << _AIR_SHIFT)
+        | (k_soft_field.astype(np.uint32) << _SOFT_SHIFT)
         | q
     )
     # flatten with x fastest: flat = x + y*nx + z*nx*ny
@@ -236,11 +253,42 @@ def make_voxel_volume(
     )
 
 
+def make_scene(
+    table_set,
+    materials_0based: np.ndarray,
+    densities: np.ndarray,
+    voxel_size_cm,
+    air_material: int = 0,
+    soft_quantile: float = 0.90,
+):
+    """One-call scene preparation: packed voxel volume + two-tier Woodcock
+    majorant tables (full + soft, see tables.split_heavy_voxels). Returns
+    ``(volume, woodcock)`` ready for :func:`run_projection`."""
+    from cbctmc_tpu.engine.tables import build_woodcock_table, split_heavy_voxels
+
+    den = np.asarray(densities, np.float32)
+    max_density = np.zeros(table_set.n_materials, np.float32)
+    np.maximum.at(
+        max_density, materials_0based.reshape(-1), den.reshape(-1)
+    )
+    heavy, soft_max_density = split_heavy_voxels(
+        table_set, materials_0based, den,
+        air_material=air_material, soft_quantile=soft_quantile,
+    )
+    woodcock = build_woodcock_table(table_set, max_density, soft_max_density)
+    volume = make_voxel_volume(
+        materials_0based, den, voxel_size_cm,
+        air_material=air_material, heavy_mask=heavy,
+    )
+    return volume, woodcock
+
+
 def _unpack(word: jnp.ndarray, den_scale: jnp.ndarray):
     mat = (word >> _MAT_SHIFT).astype(jnp.int32)
     k_air = ((word >> _AIR_SHIFT) & 7).astype(jnp.int32)
+    k_soft = ((word >> _SOFT_SHIFT) & 7).astype(jnp.int32)
     den = (word & _DEN_MASK).astype(jnp.float32) * den_scale
-    return mat, k_air, den
+    return mat, k_air, k_soft, den
 
 
 def _move_to_bbox(px, py, pz, dx, dy, dz, bbox):
@@ -358,6 +406,9 @@ class EngineConfig:
     tally_dose: bool = False
     # use the air-clearance fast path (disable for A/B physics validation)
     air_skip: bool = True
+    # use the soft-majorant clearance tier (disable for A/B validation or
+    # when the volume was built without a heavy mask)
+    soft_skip: bool = True
     # counter-based PRNG for the bulk uniforms: "rbg" (XLA RngBitGenerator,
     # fastest on TPU) or None to inherit the caller's key implementation
     # (threefry by default - bit-reproducible across backends)
@@ -375,13 +426,14 @@ class EngineConfig:
 
 def _flight_pair_tables(
     tables: DeviceTables, woodcock: WoodcockTable
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Flat flight tables addressed by a fused (energy-bin, material) index.
 
     Returns ``(sig_pair f32[n_bins*n_mats, 2], wc_pair f32[n_bins, 2],
-    air_pair f32[n_bins, 2])``: the total inverse-MFP linearisation (a, b)
-    at ``idx = ebin * n_mats + mat``, the Woodcock majorant MFP (a, b) per
-    bin, and air's inverse-MFP (a, b) per bin.
+    air_pair f32[n_bins, 2], soft_pair f32[n_bins, 2])``: the total
+    inverse-MFP linearisation (a, b) at ``idx = ebin * n_mats + mat``, the
+    full Woodcock majorant MFP (a, b) per bin, air's inverse-MFP (a, b)
+    per bin, and the soft-tier majorant MFP (a, b) per bin.
 
     The flight loop gathers the 2-wide (a, b) row per lane-trip directly at
     the fused index instead of materialising a per-lane [n_mats]-wide row
@@ -394,7 +446,8 @@ def _flight_pair_tables(
     sig_pair = tot.reshape(-1, 2)
     wc_pair = jnp.stack([woodcock.a, woodcock.b], axis=1)
     air_pair = tot[:, 0, :]  # density-sorted registry: air is material 0
-    return sig_pair, wc_pair, air_pair
+    soft_pair = jnp.stack([woodcock.soft_a, woodcock.soft_b], axis=1)
+    return sig_pair, wc_pair, air_pair, soft_pair
 
 
 def _event_pair_table(tables: DeviceTables) -> jnp.ndarray:
@@ -457,6 +510,7 @@ class LaneState(NamedTuple):
     alive: jnp.ndarray
     pending: jnp.ndarray
     k_air: jnp.ndarray
+    k_soft: jnp.ndarray
     vox: jnp.ndarray
     mat_evt: jnp.ndarray
     randno: jnp.ndarray
@@ -513,7 +567,9 @@ def run_projection(
     npix = n_pixels_x * n_pixels_z
     n_voxels = volume.packed.shape[0]
 
-    sig_pair, wc_pair, air_pair = _flight_pair_tables(tables, woodcock)
+    sig_pair, wc_pair, air_pair, soft_pair = _flight_pair_tables(
+        tables, woodcock
+    )
     event_pair = _event_pair_table(tables)
     shell_cat = _shell_cat_table(tables)
     s_max = tables.max_shells
@@ -537,16 +593,22 @@ def run_projection(
         )
 
     def wc_air_of(ebin, energy):
-        """Per-lane Woodcock majorant MFP and air MFP from the per-bin pair
-        tables (two 2-wide gathers + fma; energy only changes at refill,
-        adoption and Compton resolves, where these are recomputed)."""
+        """Per-lane majorant MFPs (full Woodcock, air, soft tier) from the
+        per-bin pair tables (three 2-wide gathers + fma; energy only
+        changes at refill, adoption and Compton resolves, where these are
+        recomputed)."""
         b = jnp.clip(ebin, 0, n_bins - 1)
         rw = wc_pair[b]
         ra = air_pair[b]
         mfp_wc = rw[:, 0] + energy * rw[:, 1]
         inv_air = jnp.maximum(ra[:, 0] + energy * ra[:, 1], 1e-30)
         mfp_air = 1.0 / (volume.air_den_max * inv_air)
-        return mfp_wc, mfp_air
+        if config.soft_skip:
+            rs = soft_pair[b]
+            mfp_soft = rs[:, 0] + energy * rs[:, 1]
+        else:
+            mfp_soft = mfp_wc
+        return mfp_wc, mfp_air, mfp_soft
 
     zeros = jnp.zeros((n,), jnp.float32)
 
@@ -560,6 +622,7 @@ def run_projection(
         # pending real event: lane paused at an interaction site
         pending=jnp.zeros((n,), bool),
         k_air=jnp.zeros((n,), jnp.int32),
+        k_soft=jnp.zeros((n,), jnp.int32),
         vox=jnp.zeros((n,), jnp.int32),
         mat_evt=jnp.zeros((n,), jnp.int32),
         randno=zeros,  # the uniform that decided "real", reused for branching
@@ -653,6 +716,9 @@ def run_projection(
         k_air = jnp.where(refill, 0, s["k_air"]) if config.air_skip else (
             jnp.zeros((n,), jnp.int32)
         )
+        k_soft = jnp.where(refill, 0, s["k_soft"]) if config.soft_skip else (
+            jnp.zeros((n,), jnp.int32)
+        )
 
         # each lane whose photon has not been consumed by the refill holds a
         # pre-sampled candidate for mid-iteration adoption; adoption is only
@@ -662,8 +728,8 @@ def run_projection(
         bulk = remaining >= n
 
         # ---------------- 2. per-iteration majorant gathers ---------------
-        mfp_wc0, mfp_air0 = wc_air_of(ebin, energy)
-        mfp_wc_cand, mfp_air_cand = wc_air_of(ebin_cand, e_cand)
+        mfp_wc0, mfp_air0, mfp_soft0 = wc_air_of(ebin, energy)
+        mfp_wc_cand, mfp_air_cand, mfp_soft_cand = wc_air_of(ebin_cand, e_cand)
 
         # ---------------- 3. Woodcock virtual-event flights --------------
         # one RngBitGenerator call for all flights' uniforms (per-flight RNG
@@ -673,9 +739,9 @@ def run_projection(
 
         def flight(fs, u_step, u_int):
             (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-             escaped, k_air, mfp_wc, mfp_air, vox, mat_evt, randno,
-             prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
-             cand_free, remaining) = fs
+             escaped, k_air, k_soft, mfp_wc, mfp_air, mfp_soft, vox,
+             mat_evt, randno, prob_delta, mfp_density, stash_idx,
+             stash_energy, stash_valid, cand_free, remaining) = fs
             active = alive & ~pending
             if return_stats:
                 active_slots.append(jnp.sum(active.astype(jnp.int32)))
@@ -706,13 +772,27 @@ def run_projection(
                 t_box = jnp.maximum(t_box, 0.0) + 1.0e-4  # nudge past the face
 
                 in_air = k_air >= 1
-                mfp_samp = jnp.where(outside | in_air, mfp_air, mfp_wc)
+                # soft tier: away from heavy voxels the looser soft
+                # majorant applies, with the step clamped to the heavy-free
+                # clearance radius (clamped steps are null events)
+                if config.soft_skip:
+                    in_soft = ~in_air & (k_soft >= 1)
+                    mfp_inside = jnp.where(in_soft, mfp_soft, mfp_wc)
+                    k_bound = jnp.where(in_air, k_air, k_soft)
+                    bounded = in_air | in_soft
+                else:
+                    mfp_inside = mfp_wc
+                    k_bound = k_air
+                    bounded = in_air
+                mfp_samp = jnp.where(
+                    outside | in_air, mfp_air, mfp_inside
+                )
                 bound = jnp.where(
                     outside,
                     t_box,
                     jnp.where(
-                        in_air,
-                        ((jnp.left_shift(1, k_air) - 1).astype(jnp.float32))
+                        bounded,
+                        ((jnp.left_shift(1, k_bound) - 1).astype(jnp.float32))
                         * volume.voxmin,
                         BIG,
                     ),
@@ -731,7 +811,7 @@ def run_projection(
             nvox, in_bbox = _locate_voxel(px, py, pz, volume)
 
             word = volume.packed[jnp.clip(nvox, 0, n_voxels - 1)]  # THE gather
-            mat, k_new, den = _unpack(word, volume.den_scale)
+            mat, k_new, ks_new, den = _unpack(word, volume.den_scale)
             # total inverse MFP at (energy-bin, material): one 2-wide gather
             # against the ~4 MB fused-index table per trip
             pair = sig_pair[jnp.clip(ebin, 0, n_bins - 1) * n_mats + mat]
@@ -749,6 +829,7 @@ def run_projection(
             prob_delta = jnp.where(real, p_delta, prob_delta)
             mfp_density = jnp.where(real, mfp_den, mfp_density)
             k_air = jnp.where(active, k_new, k_air)
+            k_soft = jnp.where(active, ks_new, k_soft)
 
             # ---- stash the detector record and adopt the candidate ------
             pix, hit = _tally_pixel(
@@ -776,16 +857,20 @@ def run_projection(
             ebin = jnp.where(adopt, ebin_cand, ebin)
             scatter = jnp.where(adopt, 0, scatter)
             k_air = jnp.where(adopt, 0, k_air)
+            k_soft = jnp.where(adopt, 0, k_soft)
             mfp_wc = jnp.where(adopt, mfp_wc_cand, mfp_wc)
             mfp_air = jnp.where(adopt, mfp_air_cand, mfp_air)
+            mfp_soft = jnp.where(adopt, mfp_soft_cand, mfp_soft)
 
             return (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                    pending, escaped, k_air, mfp_wc, mfp_air, vox,
-                    mat_evt, randno, prob_delta, mfp_density, stash_idx,
-                    stash_energy, stash_valid, cand_free, remaining)
+                    pending, escaped, k_air, k_soft, mfp_wc, mfp_air,
+                    mfp_soft, vox, mat_evt, randno, prob_delta, mfp_density,
+                    stash_idx, stash_energy, stash_valid, cand_free,
+                    remaining)
 
         fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-              jnp.zeros((n,), bool), k_air, mfp_wc0, mfp_air0, s["vox"],
+              jnp.zeros((n,), bool), k_air, k_soft, mfp_wc0, mfp_air0,
+              mfp_soft0, s["vox"],
               s["mat_evt"], s["randno"], s["prob_delta"], s["mfp_density"],
               jnp.full((n,), 4 * npix, jnp.int32), zeros, jnp.zeros((n,), bool),
               cand_free0, remaining)
@@ -801,9 +886,9 @@ def run_projection(
             for i in range(r * t_sub, (r + 1) * t_sub):
                 fs = flight(fs, u_flights[2 * i], u_flights[2 * i + 1])
             (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-             escaped, k_air, mfp_wc, mfp_air, vox, mat_evt, randno,
-             prob_delta, mfp_density, stash_idx, stash_energy, stash_valid,
-             cand_free, remaining) = fs
+             escaped, k_air, k_soft, mfp_wc, mfp_air, mfp_soft, vox,
+             mat_evt, randno, prob_delta, mfp_density, stash_idx,
+             stash_energy, stash_valid, cand_free, remaining) = fs
 
             # ------------ 4. tally: stashed records + parked lanes --------
             # one fused scatter-add for both record sets (scatters price per
@@ -839,17 +924,18 @@ def run_projection(
             resolved = _resolve(
                 px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
                 pending, vox, mat_evt, randno, prob_delta, mfp_density,
-                mfp_wc, mfp_air, k_comp, k_ray, k_phi, dose_state,
+                mfp_wc, mfp_air, mfp_soft, k_comp, k_ray, k_phi, dose_state,
                 refresh_mfp=(r < R - 1),
             )
             (dx, dy, dz, energy, ebin, scatter, alive, pending,
-             mfp_wc, mfp_air, dose_state, res_counts) = resolved
+             mfp_wc, mfp_air, mfp_soft, dose_state, res_counts) = resolved
             if return_stats:
                 counts_acc = counts_acc + res_counts
 
             # re-enter the flight loop with tallied/parked state cleared
             fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                  pending, jnp.zeros((n,), bool), k_air, mfp_wc, mfp_air,
+                  pending, jnp.zeros((n,), bool), k_air, k_soft, mfp_wc,
+                  mfp_air, mfp_soft,
                   vox, mat_evt, randno, prob_delta, mfp_density,
                   jnp.full((n,), 4 * npix, jnp.int32), zeros,
                   jnp.zeros((n,), bool), cand_free, remaining)
@@ -870,7 +956,8 @@ def run_projection(
         return dict(
             px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
             energy=energy, ebin=ebin, scatter=scatter,
-            alive=alive, pending=pending, k_air=k_air, vox=vox,
+            alive=alive, pending=pending, k_air=k_air, k_soft=k_soft,
+            vox=vox,
             mat_evt=mat_evt, randno=randno,
             prob_delta=prob_delta, mfp_density=mfp_density,
             remaining=remaining, image=image, key=key, it=s["it"] + 1,
@@ -879,7 +966,7 @@ def run_projection(
 
     def _resolve(px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
                  pending, vox, mat_evt, randno, prob_delta, mfp_density,
-                 mfp_wc, mfp_air, k_comp, k_ray, k_phi, dose_state,
+                 mfp_wc, mfp_air, mfp_soft, k_comp, k_ray, k_phi, dose_state,
                  refresh_mfp):
         """Resolve the currently pending real events on a stream-compacted
         batch; returns the updated lane state. With ``refresh_mfp`` (any
@@ -975,11 +1062,14 @@ def run_projection(
             jnp.where(valid_e, code_e.astype(jnp.float32), 0.0),
         ]
         if refresh_mfp:
-            mfp_wc_e, mfp_air_e = wc_air_of(ebin_of(new_energy_e), new_energy_e)
-            base_cols += [mfp_wc, mfp_air]
+            mfp_wc_e, mfp_air_e, mfp_soft_e = wc_air_of(
+                ebin_of(new_energy_e), new_energy_e
+            )
+            base_cols += [mfp_wc, mfp_air, mfp_soft]
             batch_cols += [
                 jnp.where(valid_e, mfp_wc_e, 0.0),
                 jnp.where(valid_e, mfp_air_e, 0.0),
+                jnp.where(valid_e, mfp_soft_e, 0.0),
             ]
         staging = jnp.stack(base_cols, axis=1).at[idx_e].set(
             jnp.stack(batch_cols, axis=1), mode="drop"
@@ -990,6 +1080,7 @@ def run_projection(
         if refresh_mfp:
             mfp_wc = staging[:, 3]
             mfp_air = staging[:, 4]
+            mfp_soft = staging[:, 5]
         took_compton = code == 1
         took_rayleigh = code == 2
         took_photo = code == 3
@@ -1051,7 +1142,7 @@ def run_projection(
             ], dtype=jnp.float64)
 
         return (dx, dy, dz, energy, ebin, scatter, alive, pending,
-                mfp_wc, mfp_air, dose_state, res_counts)
+                mfp_wc, mfp_air, mfp_soft, dose_state, res_counts)
 
     final = jax.lax.while_loop(cond, body, state)
     image = final["image"].reshape(4, n_pixels_z, n_pixels_x)
