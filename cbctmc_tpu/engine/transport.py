@@ -771,32 +771,48 @@ def run_projection(
                 t_box = jnp.where((tmax >= tmin) & (tmax > 0.0), tmin, BIG)
                 t_box = jnp.maximum(t_box, 0.0) + 1.0e-4  # nudge past the face
 
-                in_air = k_air >= 1
-                # soft tier: away from heavy voxels the looser soft
-                # majorant applies, with the step clamped to the heavy-free
-                # clearance radius (clamped steps are null events)
+                # inside the volume, three majorant tiers compete: the full
+                # Woodcock majorant (unbounded step), the air majorant
+                # (valid within the air-clearance box) and the soft
+                # majorant (valid within the heavy-free box). Each clamped
+                # tier's expected advance is mfp*(1-exp(-bound/mfp)); the
+                # lane flies whichever tier advances farthest. This guard
+                # matters at fine voxel grids: a clearance level of 1-3
+                # voxels gives a bound far below the full majorant MFP, and
+                # unconditionally taking the clamped tier degenerates into
+                # per-voxel ray marching (measured 3x slower end-to-end on
+                # the 500^3 CatPhan scene than no soft tier at all)
+                def clamped_advance(mfp, bound):
+                    return mfp * -jnp.expm1(-bound / mfp)
+
+                b_air = (
+                    (jnp.left_shift(1, k_air) - 1).astype(jnp.float32)
+                    * volume.voxmin
+                )
+                adv_air = jnp.where(
+                    k_air >= 1, clamped_advance(mfp_air, b_air), 0.0
+                )
                 if config.soft_skip:
-                    in_soft = ~in_air & (k_soft >= 1)
-                    mfp_inside = jnp.where(in_soft, mfp_soft, mfp_wc)
-                    k_bound = jnp.where(in_air, k_air, k_soft)
-                    bounded = in_air | in_soft
+                    b_soft = (
+                        (jnp.left_shift(1, k_soft) - 1).astype(jnp.float32)
+                        * volume.voxmin
+                    )
+                    adv_soft = jnp.where(
+                        k_soft >= 1, clamped_advance(mfp_soft, b_soft), 0.0
+                    )
                 else:
-                    mfp_inside = mfp_wc
-                    k_bound = k_air
-                    bounded = in_air
-                mfp_samp = jnp.where(
-                    outside | in_air, mfp_air, mfp_inside
+                    b_soft = zeros
+                    adv_soft = zeros
+                use_air = (adv_air > mfp_wc) & (adv_air >= adv_soft)
+                use_soft = (adv_soft > mfp_wc) & ~use_air
+                mfp_in = jnp.where(
+                    use_air, mfp_air, jnp.where(use_soft, mfp_soft, mfp_wc)
                 )
-                bound = jnp.where(
-                    outside,
-                    t_box,
-                    jnp.where(
-                        bounded,
-                        ((jnp.left_shift(1, k_bound) - 1).astype(jnp.float32))
-                        * volume.voxmin,
-                        BIG,
-                    ),
+                b_in = jnp.where(
+                    use_air, b_air, jnp.where(use_soft, b_soft, BIG)
                 )
+                mfp_samp = jnp.where(outside, mfp_air, mfp_in)
+                bound = jnp.where(outside, t_box, b_in)
             else:
                 mfp_samp = mfp_wc
                 bound = BIG

@@ -5,12 +5,20 @@ Re-design of the reference's production MCSpeedUpUNet
 histogram-matched forward projection), output = (mean, variance) of the
 denoised projection:
 
-- mean = relu(low + 10 * tanh(mean_unet(x)))   (bounded residual)
-- variance = mean * 0.1 * sigmoid(var_unet(mean)) + 1e-6
+- mean = relu(low + bound * tanh(mean_unet(x)))   (bounded residual)
+- variance = mean * var_bound * sigmoid(var_unet(mean)) + 1e-6
 
 Sampling a denoised projection draws Normal(mean, sqrt(variance))
 (reference: speedup/inference.py:179).
-"""
+
+Scale note: the reference bounds the residual at +-10 and the variance
+scale at 0.1 on its raw eV-scale projections (speedup/models.py:393-473,
+O(100) pixel values, so +-10 is a ~10% correction). This pipeline
+mean-normalises every projection to O(1) (datasets.SpeedupProjectionDataset
+/ speedup_inference.predict), so the equivalent bounds are ~2x the signal
+mean for the residual and ~1x for the relative variance: the round-2 run
+kept the raw +-10 bound on the normalised scale, which let the L1 phase
+run away to a 4x-too-bright output (holdout PSNR -12.5 dB)."""
 
 from __future__ import annotations
 
@@ -20,8 +28,8 @@ import jax.numpy as jnp
 
 from cbctmc_tpu.models.flex_unet import FlexUNet
 
-MEAN_RESIDUAL_BOUND = 10.0
-VAR_SCALE_BOUND = 0.10
+MEAN_RESIDUAL_BOUND = 2.0
+VAR_SCALE_BOUND = 1.0
 VAR_EPS = 1e-6
 
 

@@ -46,9 +46,28 @@ class BaseTrainer:
         output_dir: Optional[Path] = None,
         checkpoint_every: int = 1000,
         log_every: int = 100,
+        grad_clip: float = 1.0,
+        total_steps: Optional[int] = None,
     ):
+        """``grad_clip`` bounds the global gradient norm and
+        ``total_steps`` enables a linear-warmup + cosine-decay schedule -
+        both stabilisers added after the round-2 speedup run diverged
+        mid-L1-phase (holdout PSNR +7.8 dB at step 400 collapsed to -15 dB
+        by step 800 under constant-LR unclipped Adam)."""
         self.model = model
-        self.optimizer = optax.adam(learning_rate)
+        if total_steps:
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=learning_rate * 0.1,
+                peak_value=learning_rate,
+                warmup_steps=max(1, total_steps // 20),
+                decay_steps=total_steps,
+                end_value=learning_rate * 0.02,
+            )
+        else:
+            schedule = learning_rate
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(grad_clip), optax.adam(schedule)
+        )
         self.output_dir = Path(output_dir) if output_dir else None
         self.checkpoint_every = checkpoint_every
         self.log_every = log_every

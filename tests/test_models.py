@@ -52,11 +52,16 @@ def test_speedup_net_semantics():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     out = model.apply({"params": params}, x)
     mean, var = out[..., 0], out[..., 1]
-    # mean is bounded to low +- 10 and non-negative
-    assert (mean >= 0).all() and (mean <= 12.0).all()
-    # variance is positive and bounded by 0.1*mean + eps
+    from cbctmc_tpu.models.speedup_net import (
+        MEAN_RESIDUAL_BOUND,
+        VAR_SCALE_BOUND,
+    )
+
+    # mean is bounded to low +- residual bound and non-negative
+    assert (mean >= 0).all() and (mean <= 2.0 + MEAN_RESIDUAL_BOUND).all()
+    # variance is positive and bounded by var_bound*mean + eps
     assert (var > 0).all()
-    assert (var <= 0.1 * mean + 1e-5).all()
+    assert (var <= VAR_SCALE_BOUND * mean + 1e-5).all()
 
     sample = sample_projection(jax.random.PRNGKey(1), mean, var)
     assert (sample >= 0).all()
