@@ -50,11 +50,14 @@ def main():
         config = EngineConfig(n_lanes=1 << 14, max_virtual_trips=8)
         chunk, n_chunks = 200_000, 2
     else:
-        # full-size reference scene: 500^3 @ 1 mm, 1848x768 detector
+        # full-size reference scene: 500^3 @ 1 mm, 1848x768 detector.
+        # T=4 flights/iteration is the v3.2 sweep winner on this scene with
+        # the two-tier soft majorant: 4.08e6 hist/s at 73% flight-slot
+        # utilisation (T=8: 3.51e6 at 44%)
         shape, spacing_mm = (500, 500, 500), 1.0
         n_pix = (1848, 768)
         config = EngineConfig(
-            n_lanes=1 << 20, max_virtual_trips=8, event_fraction=0.35
+            n_lanes=1 << 20, max_virtual_trips=4, event_fraction=0.35
         )
         chunk, n_chunks = 100_000_000, 3
 

@@ -49,16 +49,23 @@ def fit_wpc_coefficients(
     roi_targets: Dict[str, float],
     ridge: float = 0.0,
 ) -> np.ndarray:
-    """Least squares over ROI voxels: sum_k c_k R[p^k] ~= mu_target."""
-    rows, targets = [], []
+    """Least squares over ROI voxels: sum_k c_k R[p^k] ~= mu_target.
+
+    Every ROI contributes with equal total weight (1/n_voxels per row), so
+    small inserts are not drowned out by the large water ROI, and the fit
+    matches the acceptance metric (a mean over per-insert errors).
+    """
+    rows, targets, weights = [], [], []
     for name, mask in roi_masks.items():
         voxels = power_recons[:, mask]  # [n_orders, n_voxels]
         rows.append(voxels.T)
         targets.append(np.full(voxels.shape[1], roi_targets[name]))
+        weights.append(np.full(voxels.shape[1], 1.0 / voxels.shape[1]))
     design = np.concatenate(rows, axis=0)
     y = np.concatenate(targets)
-    lhs = design.T @ design + ridge * np.eye(design.shape[1])
-    rhs = design.T @ y
+    w = np.concatenate(weights)
+    lhs = (design * w[:, None]).T @ design + ridge * np.eye(design.shape[1])
+    rhs = (design * w[:, None]).T @ y
     return np.linalg.solve(lhs, rhs)
 
 
@@ -89,19 +96,35 @@ def run_wpc_fit(
     grid: VolumeGrid,
     n_orders: int = 6,
     output_folder: Optional[Path] = None,
+    fit_air: bool = False,
+    ridge: float = 0.0,
 ) -> dict:
     """Fit WPC on a simulated CatPhan604 scan; returns coefficients and the
-    per-ROI means before/after correction."""
+    per-ROI means before/after correction.
+
+    By default the air inserts are EXCLUDED from the fit: their recon value
+    is dominated by an additive scatter floor, which a polynomial in the
+    line integral p cannot represent — including them tilts the mapping and
+    systematically biases the solid inserts (round-2 report: teflon −9%,
+    pmp +14%). The acceptance metric scores air by absolute error
+    separately, so the fit targets what the polynomial can actually fix:
+    the beam-hardening/scatter µ-mapping of water and the solid inserts.
+    """
     power_recons = reconstruct_projection_powers(
         projections, geometry, angles_deg, grid, n_orders
     )
-    masks = catphan_roi_masks(power_recons.shape[1:])
+    all_masks = catphan_roi_masks(power_recons.shape[1:])
+    masks = {
+        name: m for name, m in all_masks.items()
+        if fit_air or not name.startswith("air")
+    }
     targets = {
         name: REFERENCE_MU["h2o" if name == "water" else
                            ("air" if name.startswith("air") else name)]
         for name in masks
     }
-    coefficients = fit_wpc_coefficients(power_recons, masks, targets)
+    coefficients = fit_wpc_coefficients(power_recons, masks, targets,
+                                        ridge=ridge)
 
     corrected = np.tensordot(coefficients, power_recons, axes=1)
     uncorrected = power_recons[1]

@@ -47,7 +47,7 @@ def main(output_folder, n_projections, n_histories, air_histories,
     output_folder.mkdir(parents=True, exist_ok=True)
 
     config = EngineConfig(
-        n_lanes=n_lanes, max_virtual_trips=8, event_fraction=0.35
+        n_lanes=n_lanes, max_virtual_trips=4, event_fraction=0.35
     )
     params = SimulationParameters(
         n_histories=int(n_histories), n_projections=n_projections,

@@ -36,7 +36,7 @@ def main(output_folder, n_histories, n_projections, line_gaps, n_lanes):
         n_histories=int(n_histories),
         n_projections=n_projections,
         engine_config=EngineConfig(
-            n_lanes=n_lanes, max_virtual_trips=8, event_fraction=0.35
+            n_lanes=n_lanes, max_virtual_trips=4, event_fraction=0.35
         ),
     )
     print(result, flush=True)

@@ -53,7 +53,7 @@ def main(output_folder, n_projections, counts, phantom_xy, phantom_z, n_lanes):
 
     output_folder = Path(output_folder)
     output_folder.mkdir(parents=True, exist_ok=True)
-    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=8,
+    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=4,
                           event_fraction=0.35)
     target_std = REFERENCE_ROI_STATS_CATPHAN604_VARIAN["water"]["std"]
 

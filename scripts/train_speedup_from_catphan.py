@@ -68,7 +68,7 @@ def main(catphan_folder, output_folder, n_low, n_lanes, train_steps,
     print(f"{n_views} high-photon projections from the acceptance run",
           flush=True)
 
-    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=8,
+    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=4,
                           event_fraction=0.35)
     phantom = CatPhan604Geometry(shape=(500, 500, 500),
                                  image_spacing=(1.0, 1.0, 1.0))
