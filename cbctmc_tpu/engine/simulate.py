@@ -66,7 +66,7 @@ def _empty_carry(n: int) -> LaneState:
         px=z, py=z, pz=z, dx=z, dy=jnp.ones((n,), jnp.float32), dz=z,
         energy=jnp.full((n,), 1.0e4, jnp.float32), ebin=zi, scatter=zi,
         alive=zb, pending=zb, k_air=zi, k_soft=zi, vox=zi, mat_evt=zi,
-        randno=z, prob_delta=z, mfp_density=z,
+        xi=z, stash_idx=zi, stash_energy=z, stash_valid=zb,
     )
 
 

@@ -227,6 +227,45 @@ def _tabulate_compton_s0(
     return s0.reshape(-1).astype(np.float32)
 
 
+def fit_log_mfp_poly(
+    mfp_curve: np.ndarray,
+    e0: float,
+    de: float,
+    degree: int = 8,
+    oversample: int = 4,
+) -> np.ndarray:
+    """Fit ``log(mfp(E))`` with a polynomial in the normalised log-energy
+    ``t = (log E - log E0) / (log E1 - log E0)`` and shift it down so that
+    ``exp(poly(t)) <= mfp(E)`` EVERYWHERE on an oversampled grid of the
+    piecewise-linear table curve.
+
+    A Woodcock majorant only needs ``mfp_samp <= min-MFP`` for unbiased
+    delta tracking (the under-estimate costs extra virtual flights, it
+    never biases the physics); a degree-8 fit stays within ~2% of the
+    tabulated curve, which replaces the per-lane majorant-table gathers in
+    the transport hot loop with ~8 register FMAs + one exp (gathers price
+    per lane-index on TPU; polynomial evaluation is free VPU work).
+
+    Returns descending-order coefficients [degree+1] for Horner evaluation.
+    """
+    n_bins = mfp_curve.shape[0]
+    energies = e0 + de * np.arange(n_bins, dtype=np.float64)
+    # oversample between the table knots: the engine evaluates the
+    # piecewise-linear interpolation, so conservativeness must hold on the
+    # segments, not only at the knots (linear in E between knots)
+    e_fine = e0 + (de / oversample) * np.arange(
+        (n_bins - 1) * oversample + 1, dtype=np.float64
+    )
+    mfp_fine = np.interp(e_fine, energies, np.asarray(mfp_curve, np.float64))
+    lo, hi = np.log(energies[0]), np.log(energies[-1])
+    t = (np.log(e_fine) - lo) / (hi - lo)
+    coeffs = np.polyfit(t, np.log(mfp_fine), degree)
+    over = np.max(np.polyval(coeffs, t) - np.log(mfp_fine))
+    # the extra 1e-4 log-margin absorbs float32 Horner rounding at runtime
+    coeffs[-1] -= max(over, 0.0) + 1e-4
+    return coeffs.astype(np.float32)
+
+
 class WoodcockTable(NamedTuple):
     """Per-geometry Woodcock majorant MFP interpolation tables:
     mfp(E) = a[bin] + E * b[bin].
@@ -247,6 +286,14 @@ class WoodcockTable(NamedTuple):
     b: jnp.ndarray  # [n_bins]
     soft_a: jnp.ndarray  # [n_bins]
     soft_b: jnp.ndarray  # [n_bins]
+    # conservative log-MFP polynomial fits (engine v3.4): descending Horner
+    # coefficients over t = (log E - log_e_lo)/(log_e_hi - log_e_lo), with
+    # exp(poly) <= the tabulated curve everywhere (fit_log_mfp_poly)
+    wc_logpoly: jnp.ndarray  # [degree+1]
+    soft_logpoly: jnp.ndarray  # [degree+1]
+    air_logpoly: jnp.ndarray  # [degree+1] nominal-density air MFP
+    log_e_lo: jnp.ndarray  # f32 scalar
+    log_e_hi: jnp.ndarray  # f32 scalar
 
 
 def build_woodcock_table(
@@ -259,9 +306,29 @@ def build_woodcock_table(
         sa, sb = build_woodcock_coefficients(table_set, soft_max_density)
     else:
         sa, sb = a, b
+    e0, de, n_bins = table_set.e0, table_set.de, len(a)
+    energies = e0 + de * np.arange(n_bins, dtype=np.float64)
+    wc_poly = fit_log_mfp_poly(np.asarray(a) + energies * np.asarray(b), e0, de)
+    soft_poly = fit_log_mfp_poly(
+        np.asarray(sa) + energies * np.asarray(sb), e0, de
+    )
+    # air majorant: the nominal-density air MFP curve; the engine divides by
+    # the scene's max quantised air density (VoxelVolume.air_den_max), which
+    # preserves the conservative direction (fit-below / max density)
+    air = table_set.materials[0]  # density-sorted registry: air is first
+    a_air, b_air = linearize_inverse_mfp(
+        np.asarray(air.mfp_total)[None], np.array([air.density]), e0, de
+    )
+    inv_air = np.maximum(a_air[0] + energies * b_air[0], 1e-30)
+    air_poly = fit_log_mfp_poly(1.0 / inv_air, e0, de)
     return WoodcockTable(
         a=jnp.asarray(a), b=jnp.asarray(b),
         soft_a=jnp.asarray(sa), soft_b=jnp.asarray(sb),
+        wc_logpoly=jnp.asarray(wc_poly),
+        soft_logpoly=jnp.asarray(soft_poly),
+        air_logpoly=jnp.asarray(air_poly),
+        log_e_lo=jnp.float32(np.log(energies[0])),
+        log_e_hi=jnp.float32(np.log(energies[-1])),
     )
 
 

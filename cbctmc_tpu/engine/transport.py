@@ -423,31 +423,33 @@ class EngineConfig:
         # Rayleigh is ~an order of magnitude rarer than Compton
         return max(1024, int(self.n_lanes * self.event_fraction / 6))
 
+    # budget fraction of the compacted second tally pass (lanes holding
+    # both a stash and a parked record in one sub-phase); overflow is
+    # carried, not dropped, so a low budget only trades a little lane
+    # utilisation
+    doubles_fraction: float = 0.25
 
-def _flight_pair_tables(
-    tables: DeviceTables, woodcock: WoodcockTable
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Flat flight tables addressed by a fused (energy-bin, material) index.
+    @property
+    def doubles_lanes(self) -> int:
+        return max(32, int(self.n_lanes * self.doubles_fraction))
 
-    Returns ``(sig_pair f32[n_bins*n_mats, 2], wc_pair f32[n_bins, 2],
-    air_pair f32[n_bins, 2], soft_pair f32[n_bins, 2])``: the total
-    inverse-MFP linearisation (a, b) at ``idx = ebin * n_mats + mat``, the
-    full Woodcock majorant MFP (a, b) per bin, air's inverse-MFP (a, b)
-    per bin, and the soft-tier majorant MFP (a, b) per bin.
+
+def _flight_pair_tables(tables: DeviceTables) -> jnp.ndarray:
+    """Flat total inverse-MFP table addressed by a fused
+    (energy-bin, material) index: ``sig_pair f32[n_bins*n_mats, 2]`` with
+    ``inv_mfp(E) = a + E*b`` at ``idx = ebin * n_mats + mat``.
 
     The flight loop gathers the 2-wide (a, b) row per lane-trip directly at
     the fused index instead of materialising a per-lane [n_mats]-wide row
     and one-hot-selecting per trip: the one-hot form re-reads ~180 MB of
     row data per trip at 1M lanes (XLA rematerialises the select chain into
     every unrolled flight), while the direct gather prices ~a few ns per
-    lane against a ~4 MB table."""
+    lane against a ~4 MB table. The MAJORANT tiers, by contrast, are pure
+    functions of energy and are evaluated as conservative log-polynomials
+    (WoodcockTable.*_logpoly) - engine v3.4 removed their per-lane gathers
+    entirely."""
     n_mats = tables.n_mats
-    tot = tables.mfp_total_ab.reshape(-1, n_mats, 2)
-    sig_pair = tot.reshape(-1, 2)
-    wc_pair = jnp.stack([woodcock.a, woodcock.b], axis=1)
-    air_pair = tot[:, 0, :]  # density-sorted registry: air is material 0
-    soft_pair = jnp.stack([woodcock.soft_a, woodcock.soft_b], axis=1)
-    return sig_pair, wc_pair, air_pair, soft_pair
+    return tables.mfp_total_ab.reshape(-1, n_mats, 2).reshape(-1, 2)
 
 
 def _event_pair_table(tables: DeviceTables) -> jnp.ndarray:
@@ -513,9 +515,16 @@ class LaneState(NamedTuple):
     k_soft: jnp.ndarray
     vox: jnp.ndarray
     mat_evt: jnp.ndarray
-    randno: jnp.ndarray
-    prob_delta: jnp.ndarray
-    mfp_density: jnp.ndarray
+    # scaled event uniform xi = (u - p_delta) / (mfp_samp * den): the event
+    # branch is Compton iff xi < inv_mfp_compton, Rayleigh iff
+    # xi < inv_compton + inv_rayleigh - one value replaces the
+    # (randno, prob_delta, mfp_density) triple of engine v3.2
+    xi: jnp.ndarray
+    # detector records carried across an iteration boundary when the
+    # rare-doubles tally budget overflowed (engine v3.4 compacted tally)
+    stash_idx: jnp.ndarray
+    stash_energy: jnp.ndarray
+    stash_valid: jnp.ndarray
 
 
 @partial(
@@ -567,13 +576,11 @@ def run_projection(
     npix = n_pixels_x * n_pixels_z
     n_voxels = volume.packed.shape[0]
 
-    sig_pair, wc_pair, air_pair, soft_pair = _flight_pair_tables(
-        tables, woodcock
-    )
+    sig_pair = _flight_pair_tables(tables)
     event_pair = _event_pair_table(tables)
     shell_cat = _shell_cat_table(tables)
     s_max = tables.max_shells
-    n_bins = wc_pair.shape[0]
+    n_bins = woodcock.a.shape[0]
     mat_iota = jnp.arange(n_mats, dtype=jnp.int32)[None, :]
 
     if config.rng_impl is not None:
@@ -592,20 +599,31 @@ def run_projection(
             n_bins - 1,
         )
 
-    def wc_air_of(ebin, energy):
-        """Per-lane majorant MFPs (full Woodcock, air, soft tier) from the
-        per-bin pair tables (three 2-wide gathers + fma; energy only
-        changes at refill, adoption and Compton resolves, where these are
-        recomputed)."""
-        b = jnp.clip(ebin, 0, n_bins - 1)
-        rw = wc_pair[b]
-        ra = air_pair[b]
-        mfp_wc = rw[:, 0] + energy * rw[:, 1]
-        inv_air = jnp.maximum(ra[:, 0] + energy * ra[:, 1], 1e-30)
-        mfp_air = 1.0 / (volume.air_den_max * inv_air)
+    # majorant tiers as conservative log-polynomials in normalised log
+    # energy (engine v3.4): exp(poly(t)) <= the tabulated majorant curve
+    # everywhere (tables.fit_log_mfp_poly), so delta tracking stays
+    # unbiased while the per-lane majorant-table GATHERS of v3.2 (two full
+    # 2-wide gathers per tier per iteration, plus the event-batch refresh
+    # scatter) become ~25 register FMAs + three exps - free VPU work
+    inv_log_range = 1.0 / (woodcock.log_e_hi - woodcock.log_e_lo)
+    inv_air_den = 1.0 / volume.air_den_max
+
+    def majorants_of(energy):
+        """Per-lane majorant MFPs (full Woodcock, air, soft tier)."""
+        t = jnp.clip(
+            (jnp.log(energy) - woodcock.log_e_lo) * inv_log_range, 0.0, 1.0
+        )
+
+        def horner(coeffs):
+            acc = jnp.full_like(t, coeffs[0])
+            for k in range(1, coeffs.shape[0]):
+                acc = acc * t + coeffs[k]
+            return acc
+
+        mfp_wc = jnp.exp(horner(woodcock.wc_logpoly))
+        mfp_air = jnp.exp(horner(woodcock.air_logpoly)) * inv_air_den
         if config.soft_skip:
-            rs = soft_pair[b]
-            mfp_soft = rs[:, 0] + energy * rs[:, 1]
+            mfp_soft = jnp.exp(horner(woodcock.soft_logpoly))
         else:
             mfp_soft = mfp_wc
         return mfp_wc, mfp_air, mfp_soft
@@ -625,9 +643,11 @@ def run_projection(
         k_soft=jnp.zeros((n,), jnp.int32),
         vox=jnp.zeros((n,), jnp.int32),
         mat_evt=jnp.zeros((n,), jnp.int32),
-        randno=zeros,  # the uniform that decided "real", reused for branching
-        prob_delta=zeros,
-        mfp_density=zeros,
+        xi=zeros,  # scaled event uniform (see LaneState.xi)
+        # overflow-carried detector records (compacted-tally rare doubles)
+        stash_idx=jnp.full((n,), 4 * npix, jnp.int32),
+        stash_energy=zeros,
+        stash_valid=jnp.zeros((n,), bool),
         remaining=jnp.asarray(n_histories, jnp.int32),
         image=jnp.zeros((4 * npix,), jnp.float32),
         key=key,
@@ -636,15 +656,18 @@ def run_projection(
     if carry_in is not None:
         state.update(carry_in._asdict())
     if return_stats:
-        state["counts"] = jnp.zeros((10,), jnp.float64)  # stash, final, compton,
+        state["counts"] = jnp.zeros((10,), jnp.float32)  # stash, final, compton,
         # rayleigh, photo, refills, adoptions, flights-active
     if config.tally_dose:
         state["voxel_dose"] = jnp.zeros((n_voxels,), jnp.float32)
         state["material_dose"] = jnp.zeros((n_mats, 2), jnp.float32)
 
     def cond(s):
+        # drain mode also flushes overflow-carried stash records (they are
+        # tallied by the next iteration's primary pass); with return_carry
+        # they ride out in LaneState instead
         live = (s["remaining"] > 0) if return_carry else (
-            (s["remaining"] > 0) | s["alive"].any()
+            (s["remaining"] > 0) | s["alive"].any() | s["stash_valid"].any()
         )
         return live & (s["it"] < config.max_outer_iterations)
 
@@ -727,11 +750,10 @@ def run_projection(
         cand_free0 = dir_ok
         bulk = remaining >= n
 
-        # ---------------- 2. per-iteration majorant gathers ---------------
-        mfp_wc0, mfp_air0, mfp_soft0 = wc_air_of(ebin, energy)
-        mfp_wc_cand, mfp_air_cand, mfp_soft_cand = wc_air_of(ebin_cand, e_cand)
-
-        # ---------------- 3. Woodcock virtual-event flights --------------
+        # ---------------- 2. Woodcock virtual-event flights --------------
+        # (the majorant tiers are evaluated analytically inside each flight
+        # - engine v3.4; the per-iteration majorant gathers of v3.2 and the
+        # candidate-pool majorant prefetch are gone)
         # one RngBitGenerator call for all flights' uniforms (per-flight RNG
         # ops would break kernel fusion across the unrolled flight chain)
         u_flights = uniform_open(k_step, (2 * config.max_virtual_trips, n))
@@ -739,12 +761,13 @@ def run_projection(
 
         def flight(fs, u_step, u_int):
             (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-             escaped, k_air, k_soft, mfp_wc, mfp_air, mfp_soft, vox,
-             mat_evt, randno, prob_delta, mfp_density, stash_idx,
+             escaped, k_air, k_soft, vox,
+             mat_evt, xi, stash_idx,
              stash_energy, stash_valid, cand_free, remaining) = fs
             active = alive & ~pending
             if return_stats:
                 active_slots.append(jnp.sum(active.astype(jnp.int32)))
+            mfp_wc, mfp_air, mfp_soft = majorants_of(energy)
 
             if config.air_skip:
                 # outside the non-air box: pure air up to the box face (or
@@ -841,9 +864,14 @@ def run_projection(
             pending = pending | real
             vox = jnp.where(real, nvox, vox)
             mat_evt = jnp.where(real, mat, mat_evt)
-            randno = jnp.where(real, u_int, randno)
-            prob_delta = jnp.where(real, p_delta, prob_delta)
-            mfp_density = jnp.where(real, mfp_den, mfp_density)
+            # fold (u, p_delta, mfp*den) into the scaled event uniform:
+            # xi = (u - p_delta)/(mfp*den) is uniform on (0, inv_tot] given
+            # a real event, so the resolve branches directly on the partial
+            # inverse MFPs (Compton iff xi < inv_compton, ...) - one carried
+            # value instead of three (LaneState.xi)
+            xi = jnp.where(
+                real, (u_int - p_delta) / jnp.maximum(mfp_den, 1e-30), xi
+            )
             k_air = jnp.where(active, k_new, k_air)
             k_soft = jnp.where(active, ks_new, k_soft)
 
@@ -874,21 +902,20 @@ def run_projection(
             scatter = jnp.where(adopt, 0, scatter)
             k_air = jnp.where(adopt, 0, k_air)
             k_soft = jnp.where(adopt, 0, k_soft)
-            mfp_wc = jnp.where(adopt, mfp_wc_cand, mfp_wc)
-            mfp_air = jnp.where(adopt, mfp_air_cand, mfp_air)
-            mfp_soft = jnp.where(adopt, mfp_soft_cand, mfp_soft)
 
             return (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                    pending, escaped, k_air, k_soft, mfp_wc, mfp_air,
-                    mfp_soft, vox, mat_evt, randno, prob_delta, mfp_density,
+                    pending, escaped, k_air, k_soft,
+                    vox, mat_evt, xi,
                     stash_idx, stash_energy, stash_valid, cand_free,
                     remaining)
 
+        # the stash enters the iteration with any records the compacted
+        # tally's rare-doubles budget carried over (usually none); such
+        # lanes simply cannot stash again until their record is tallied
         fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-              jnp.zeros((n,), bool), k_air, k_soft, mfp_wc0, mfp_air0,
-              mfp_soft0, s["vox"],
-              s["mat_evt"], s["randno"], s["prob_delta"], s["mfp_density"],
-              jnp.full((n,), 4 * npix, jnp.int32), zeros, jnp.zeros((n,), bool),
+              jnp.zeros((n,), bool), k_air, k_soft, s["vox"],
+              s["mat_evt"], s["xi"],
+              s["stash_idx"], s["stash_energy"], s["stash_valid"],
               cand_free0, remaining)
 
         image = s["image"]
@@ -902,36 +929,59 @@ def run_projection(
             for i in range(r * t_sub, (r + 1) * t_sub):
                 fs = flight(fs, u_flights[2 * i], u_flights[2 * i + 1])
             (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
-             escaped, k_air, k_soft, mfp_wc, mfp_air, mfp_soft, vox,
-             mat_evt, randno, prob_delta, mfp_density, stash_idx,
+             escaped, k_air, k_soft, vox,
+             mat_evt, xi, stash_idx,
              stash_energy, stash_valid, cand_free, remaining) = fs
 
-            # ------------ 4. tally: stashed records + parked lanes --------
-            # one fused scatter-add for both record sets (scatters price per
-            # op-invocation plus per index; concatenating saves a pass over
-            # the 23 MB image). Parked lanes are dead after their tally;
-            # the stash is freed so the next sub-phase can stash again.
+            # ------------ 4. compacted tally (engine v3.4) ----------------
+            # A lane holds at most two records per sub-phase: its stash
+            # (first escape before adopting) and its parked photon (second
+            # escape). The v3.2 tally scattered 2n concatenated slots, most
+            # of them dropped sentinels - but scatter-adds into the 23 MB
+            # image price ~9 ns per SLOT, valid or not (measured; the
+            # biggest single cost in the v3.2 census). Instead: one n-slot
+            # scatter carries each lane's stash OR parked record, and the
+            # rare lanes holding BOTH go through a small stream-compacted
+            # second pass. Doubles beyond that budget keep their parked
+            # record as the next sub-phase's stash (overflow-carry in the
+            # outer state) - records are never dropped.
             pix, hit = _tally_pixel(
                 px, py, pz, dx, dy, dz, detector, n_pixels_x, n_pixels_z
             )
             tally_mask = escaped & hit
             tally_idx = jnp.where(tally_mask, scatter * npix + pix, 4 * npix)
-            image = image.at[jnp.concatenate([stash_idx, tally_idx])].add(
-                jnp.concatenate([
-                    jnp.where(stash_valid, stash_energy, 0.0),
-                    jnp.where(tally_mask, energy, 0.0),
-                ]),
-                mode="drop",
+            has_stash_rec = stash_valid & (stash_idx < 4 * npix)
+            primary_idx = jnp.where(has_stash_rec, stash_idx, tally_idx)
+            primary_val = jnp.where(
+                has_stash_rec, stash_energy,
+                jnp.where(tally_mask, energy, 0.0),
             )
+            image = image.at[primary_idx].add(primary_val, mode="drop")
+
+            doubles = has_stash_rec & tally_mask
+            c_d = config.doubles_lanes
+            idx_d, order_d = _compact_indices(doubles, c_d, fill=n)
+            valid_d = idx_d < n
+            idd = jnp.minimum(idx_d, n - 1)
+            image = image.at[
+                jnp.where(valid_d, tally_idx[idd], 4 * npix)
+            ].add(jnp.where(valid_d, energy[idd], 0.0), mode="drop")
+            # overflow-carry: doubles beyond the budget park their second
+            # record in the stash slot for the next sub-phase
+            overflow = doubles & (order_d >= c_d)
+            stash_idx = jnp.where(overflow, tally_idx, stash_idx)
+            stash_energy = jnp.where(overflow, energy, stash_energy)
+            stash_valid = overflow
+
             if return_stats:
                 counts_acc = counts_acc + jnp.array([
-                    jnp.sum(stash_valid & (stash_idx < 4 * npix)),
-                    jnp.sum(tally_mask), 0, 0, 0, 0, 0, 0,
-                    jnp.sum(jnp.where(
-                        stash_valid & (stash_idx < 4 * npix), stash_energy, 0.0
-                    )),
-                    jnp.sum(jnp.where(tally_mask, energy, 0.0)),
-                ], dtype=jnp.float64)
+                    jnp.sum(primary_idx < 4 * npix)
+                    + jnp.sum(valid_d & (tally_idx[idd] < 4 * npix)),
+                    0, 0, 0, 0, 0, 0, 0,
+                    jnp.sum(jnp.where(primary_idx < 4 * npix, primary_val, 0.0))
+                    + jnp.sum(jnp.where(valid_d, energy[idd], 0.0)),
+                    0.0,
+                ], dtype=jnp.float32)
 
             # ------------ 5. real interactions (compacted batch) ----------
             k_comp, k_ray, k_phi = (
@@ -939,29 +989,27 @@ def run_projection(
             )
             resolved = _resolve(
                 px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                pending, vox, mat_evt, randno, prob_delta, mfp_density,
-                mfp_wc, mfp_air, mfp_soft, k_comp, k_ray, k_phi, dose_state,
-                refresh_mfp=(r < R - 1),
+                pending, vox, mat_evt, xi,
+                k_comp, k_ray, k_phi, dose_state,
             )
             (dx, dy, dz, energy, ebin, scatter, alive, pending,
-             mfp_wc, mfp_air, mfp_soft, dose_state, res_counts) = resolved
+             dose_state, res_counts) = resolved
             if return_stats:
                 counts_acc = counts_acc + res_counts
 
-            # re-enter the flight loop with tallied/parked state cleared
+            # re-enter the flight loop with parked state cleared (the stash
+            # may carry an overflowed record)
             fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                  pending, jnp.zeros((n,), bool), k_air, k_soft, mfp_wc,
-                  mfp_air, mfp_soft,
-                  vox, mat_evt, randno, prob_delta, mfp_density,
-                  jnp.full((n,), 4 * npix, jnp.int32), zeros,
-                  jnp.zeros((n,), bool), cand_free, remaining)
+                  pending, jnp.zeros((n,), bool), k_air, k_soft,
+                  vox, mat_evt, xi,
+                  stash_idx, stash_energy, stash_valid, cand_free, remaining)
 
         if return_stats:
             counts_acc = counts_acc + jnp.array([
                 0, 0, 0, 0, 0, n_started,
                 s["remaining"] - n_started - remaining,
                 sum(active_slots, start=jnp.int32(0)), 0, 0,
-            ], dtype=jnp.float64)
+            ], dtype=jnp.float32)
 
         extra_state = {}
         if config.tally_dose:
@@ -974,22 +1022,21 @@ def run_projection(
             energy=energy, ebin=ebin, scatter=scatter,
             alive=alive, pending=pending, k_air=k_air, k_soft=k_soft,
             vox=vox,
-            mat_evt=mat_evt, randno=randno,
-            prob_delta=prob_delta, mfp_density=mfp_density,
+            mat_evt=mat_evt, xi=xi,
+            stash_idx=stash_idx, stash_energy=stash_energy,
+            stash_valid=stash_valid,
             remaining=remaining, image=image, key=key, it=s["it"] + 1,
             **extra_state,
         )
 
     def _resolve(px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
-                 pending, vox, mat_evt, randno, prob_delta, mfp_density,
-                 mfp_wc, mfp_air, mfp_soft, k_comp, k_ray, k_phi, dose_state,
-                 refresh_mfp):
+                 pending, vox, mat_evt, xi,
+                 k_comp, k_ray, k_phi, dose_state):
         """Resolve the currently pending real events on a stream-compacted
-        batch; returns the updated lane state. With ``refresh_mfp`` (any
-        mid-iteration resolve) the per-lane majorant MFPs are recomputed on
-        the batch for lanes whose energy changed and scattered back with the
-        event outcome, so those lanes resume flying immediately; the final
-        resolve skips it because the next iteration recomputes them."""
+        batch; returns the updated lane state. Lanes whose energy changed
+        resume flying immediately in the next sub-phase - their majorants
+        are evaluated analytically in the flight (engine v3.4), so no
+        mid-iteration refresh scatter is needed."""
         pending = pending & alive
         c_e = config.event_lanes
         idx_e, _ = _compact_indices(pending, c_e, fill=n)
@@ -998,10 +1045,13 @@ def run_projection(
 
         # ONE packed gather fetches all per-event lane state (the int
         # columns ride along bitcast to f32; scatters/gathers price per
-        # index and per op, so fusing the f32 and i32 fetches halves both)
+        # index and per op, so fusing the f32 and i32 fetches halves both).
+        # The v3.2 (randno, prob_delta, mfp_density) triple is folded into
+        # the single scaled uniform xi at flight time, so the stack is 3
+        # columns instead of 5.
         stack = jnp.concatenate(
             [
-                jnp.stack([energy, randno, prob_delta, mfp_density], axis=1),
+                jnp.stack([energy, xi], axis=1),
                 jax.lax.bitcast_convert_type(
                     (jnp.maximum(ebin, 0) * 32 + mat_evt)[:, None], jnp.float32
                 ),
@@ -1009,9 +1059,8 @@ def run_projection(
             axis=1,
         )
         fv = stack[idx_es]
-        e_e, randno_e = fv[:, 0], fv[:, 1]
-        pd_e, md_e = fv[:, 2], fv[:, 3]
-        em_e = jax.lax.bitcast_convert_type(fv[:, 4], jnp.int32)
+        e_e, xi_e = fv[:, 0], fv[:, 1]
+        em_e = jax.lax.bitcast_convert_type(fv[:, 2], jnp.int32)
         ebin_e = em_e >> 5
         mat_e = em_e & 31
 
@@ -1022,10 +1071,8 @@ def run_projection(
 
         inv_com = e6[:, 0] + e_e * e6[:, 1]
         inv_ray = e6[:, 2] + e_e * e6[:, 3]
-        p_compton = pd_e + md_e * inv_com
-        p_rayleigh = p_compton + md_e * inv_ray
-        want_c = valid_e & (randno_e < p_compton)
-        want_r = valid_e & ~want_c & (randno_e < p_rayleigh)
+        want_c = valid_e & (xi_e < inv_com)
+        want_r = valid_e & ~want_c & (xi_e < inv_com + inv_ray)
         photo = valid_e & ~want_c & ~want_r
 
         # --- Compton: masked in-batch; shell rows via one MXU matmul -----
@@ -1066,37 +1113,32 @@ def run_projection(
         )
         code_e = jnp.where(want_c, 1, jnp.where(took_r, 2, jnp.where(photo, 3, 0)))
 
-        # one packed scatter returns (energy', cos_theta, branch code [, new
-        # majorant MFPs]) to the lanes (the per-index scatters fuse into 1)
+        # one packed 2-column scatter returns the event outcome to the
+        # lanes: (energy' + code*2e6, cos_theta). The branch code rides in
+        # the energy column (energies stay < 2e5 eV, so round(enc/2e6)
+        # recovers the code exactly and enc - code*2e6 recovers the energy
+        # to < 0.5 eV - far below the 5 eV table grid). Scatter rows into
+        # column-major [n, k] staging price per COLUMN-index on TPU, so
+        # narrowing 6 columns (v3.2: outcome + majorant refresh) to 2 cuts
+        # the dominant event-stage scatter 3x; the majorant refresh itself
+        # is obsolete (analytic majorants).
         energy_before = energy
-        base_cols = [
-            energy, jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.float32)
-        ]
-        batch_cols = [
-            jnp.where(valid_e, new_energy_e, 0.0),
-            jnp.where(valid_e, costh_e, 1.0),
-            jnp.where(valid_e, code_e.astype(jnp.float32), 0.0),
-        ]
-        if refresh_mfp:
-            mfp_wc_e, mfp_air_e, mfp_soft_e = wc_air_of(
-                ebin_of(new_energy_e), new_energy_e
-            )
-            base_cols += [mfp_wc, mfp_air, mfp_soft]
-            batch_cols += [
-                jnp.where(valid_e, mfp_wc_e, 0.0),
-                jnp.where(valid_e, mfp_air_e, 0.0),
-                jnp.where(valid_e, mfp_soft_e, 0.0),
-            ]
-        staging = jnp.stack(base_cols, axis=1).at[idx_e].set(
-            jnp.stack(batch_cols, axis=1), mode="drop"
+        enc_e = new_energy_e + code_e.astype(jnp.float32) * 2.0e6
+        staging = jnp.stack([energy, jnp.ones((n,), jnp.float32)], axis=1)
+        staging = staging.at[idx_e].set(
+            jnp.stack(
+                [
+                    jnp.where(valid_e, enc_e, 0.0),
+                    jnp.where(valid_e, costh_e, 1.0),
+                ],
+                axis=1,
+            ),
+            mode="drop",
         )
-        energy = staging[:, 0]
+        enc = staging[:, 0]
         costh = staging[:, 1]
-        code = staging[:, 2].astype(jnp.int32)
-        if refresh_mfp:
-            mfp_wc = staging[:, 3]
-            mfp_air = staging[:, 4]
-            mfp_soft = staging[:, 5]
+        code = jnp.round(enc * 5.0e-7).astype(jnp.int32)
+        energy = enc - code.astype(jnp.float32) * 2.0e6
         took_compton = code == 1
         took_rayleigh = code == 2
         took_photo = code == 3
@@ -1155,10 +1197,10 @@ def run_projection(
                 0, 0,
                 jnp.sum(took_compton), jnp.sum(took_rayleigh),
                 jnp.sum(took_photo), 0, 0, 0, 0, 0,
-            ], dtype=jnp.float64)
+            ], dtype=jnp.float32)
 
         return (dx, dy, dz, energy, ebin, scatter, alive, pending,
-                mfp_wc, mfp_air, mfp_soft, dose_state, res_counts)
+                dose_state, res_counts)
 
     final = jax.lax.while_loop(cond, body, state)
     image = final["image"].reshape(4, n_pixels_z, n_pixels_x)

@@ -168,9 +168,39 @@ def main(images_path, air_path, output_folder, bin_factor, crop_x, start_angle,
     results["total_own_wpc"] = roi_report(vol_t)
     results["wpc_coefficients"] = wpc["coefficients"]
 
+    # scatter-corrected variant: the simulation tallies primary and total
+    # separately, so the scatter field (total - primary) is known exactly;
+    # a heavily-smoothed estimate of it is subtracted from the total before
+    # log-normalisation -- the MC analogue of the kernel-based scatter
+    # correction clinical CBCT applies, and the fix for the air-insert
+    # scatter floor (air mu ~2.4e-5/mm sits below the ~1e-3/mm additive
+    # scatter bias of the uncorrected recon). Reference images carry the
+    # same 4-way scatter split (report_image, MC-GPU_v1.3.cu:2783-2953).
+    if two_channel or images.shape[1] == 4:
+        from scipy.ndimage import gaussian_filter
+
+        scatter = total_images - images[:, 0]
+        scatter_est = gaussian_filter(
+            scatter, sigma=(0, 8, 8), mode="nearest"
+        )
+        corrected = np.maximum(total_images - scatter_est, 0.0)
+        air_sc = air[0] if air.shape[0] == 2 else air[0]
+        norm_c = prep(corrected, air_sc)
+        wpc_c = run_wpc_fit(norm_c, cb, angles, grid, n_orders=wpc_orders)
+        vol_c = engine_volume_to_mc_frame(
+            fdk_reconstruct(norm_c, cb, angles, grid=grid,
+                            water_precorrection=wpc_c["coefficients"])
+        )
+        np.save(output_folder / "recon_scatter_corrected_wpc.npy", vol_c)
+        results["scatter_corrected_wpc"] = roi_report(vol_c)
+        results["scatter_corrected_wpc_coefficients"] = wpc_c["coefficients"]
+
     with open(output_folder / "catphan_acceptance.json", "w") as f:
         json.dump(results, f, indent=2)
-    for section in ("primary_only", "total_own_wpc"):
+    for section in ("primary_only", "total_own_wpc",
+                    "scatter_corrected_wpc"):
+        if section not in results:
+            continue
         click.echo(f"== {section}: MARE = "
                    f"{results[section]['mean_absolute_relative_error']:.2%}")
 

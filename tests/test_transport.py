@@ -197,3 +197,54 @@ def test_dose_tally(table_set, mono60):
     # detector only covers part of the solid angle; bound loosely
     assert deposited + detected_total < emitted * 1.01
     assert material_dose[:, 1].sum() > 0  # squared accumulator filled
+
+
+def test_majorant_poly_conservative(table_set):
+    """The analytic majorant tiers (engine v3.4) must under-estimate the
+    tabulated majorant curves everywhere: exp(poly(t)) <= a + E*b on a fine
+    energy grid (delta tracking is unbiased only for a conservative
+    majorant; tables.fit_log_mfp_poly)."""
+    max_density = np.ones(table_set.n_materials, np.float32)
+    wt = build_woodcock_table(table_set, max_density)
+    e0, de = table_set.e0, table_set.de
+    n_bins = np.asarray(wt.a).shape[0]
+    e_fine = e0 + (de / 3) * np.arange(3 * (n_bins - 1) + 1)
+    bins = np.minimum(((e_fine - e0) / de).astype(int), n_bins - 1)
+    lo, hi = float(wt.log_e_lo), float(wt.log_e_hi)
+    t = np.clip((np.log(e_fine) - lo) / (hi - lo), 0.0, 1.0)
+    for pa, pb, poly in (
+        (wt.a, wt.b, wt.wc_logpoly),
+        (wt.soft_a, wt.soft_b, wt.soft_logpoly),
+    ):
+        curve = np.asarray(pa)[bins] + e_fine * np.asarray(pb)[bins]
+        fit = np.exp(np.polyval(np.asarray(poly, np.float64), t))
+        assert (fit <= curve * (1.0 + 1e-6)).all()
+        # and the fit is reasonably tight, so the extra virtual-flight
+        # cost of the analytic tier stays small
+        assert (fit / curve).min() > 0.85
+
+
+def test_tally_doubles_overflow_carry(table_set, mono60):
+    """A starved rare-doubles tally budget must not lose detector energy:
+    overflowed records are carried in the stash and tallied later. The two
+    runs consume different RNG sub-streams once a carry blocks a stash, so
+    the comparison is statistical."""
+    mats, dens = _scene(table_set, with_water_slab=True)
+    img_default = _simulate(
+        table_set, mono60, mats, dens, n_histories=150_000, seed=11
+    )
+    starved = EngineConfig(
+        n_lanes=CONFIG.n_lanes,
+        max_virtual_trips=CONFIG.max_virtual_trips,
+        doubles_fraction=1e-9,  # floor of 32 lanes
+    )
+    img_starved = _simulate(
+        table_set, mono60, mats, dens, n_histories=150_000, seed=11,
+        config=starved,
+    )
+    assert img_starved.sum() <= 150_000 * 60_005.0
+    assert img_starved.sum() == pytest.approx(img_default.sum(), rel=0.02)
+    for ch in range(2):
+        assert img_starved[ch].sum() == pytest.approx(
+            img_default[ch].sum(), rel=0.05
+        )
