@@ -161,6 +161,48 @@ def compton_scatter_rows(
         tau = jnp.where(take, tau_prop, tau)
         cdt1 = jnp.where(take, cdt1_prop, cdt1)
         accepted = accepted | accept_now
+
+    new_energy, costh = _shell_doppler_and_energy(
+        k_shell, energy, tau, cdt1, f_open, open_shell, ui, j0, mask
+    )
+    if return_accepted:
+        return new_energy, costh, accepted
+    return new_energy, costh
+
+
+def compton_scatter_rows_tab(
+    key: jax.Array,
+    energy: jnp.ndarray,
+    cdt1: jnp.ndarray,
+    f_rows: jnp.ndarray,
+    ui_rows: jnp.ndarray,
+    j0_rows: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compton sampling with a PRE-SAMPLED scattering angle (engine v3.4b:
+    cdt1 drawn from the tabulated inverse CDF of the exact KN x S(E,theta)
+    distribution - see tables._tabulate_compton_tau_icdf); only the target
+    shell + Doppler-broadened energy-loss stage runs here. The joint
+    distribution factorises as marginal(angle) x conditional(shell, pz |
+    angle), so swapping the marginal's sampler leaves the conditionals
+    untouched."""
+    ek = energy * INV_ELECTRON_REST_ENERGY
+    tau = 1.0 / (1.0 + ek * cdt1)
+    open_shell = ui_rows < energy[None, :]
+    f_open = jnp.where(open_shell, f_rows, 0.0)
+    ui = jnp.where(open_shell, ui_rows, 0.0)
+    return _shell_doppler_and_energy(
+        key, energy, tau, cdt1, f_open, open_shell, ui, j0_rows, mask
+    )
+
+
+def _shell_doppler_and_energy(
+    k_shell, energy, tau, cdt1, f_open, open_shell, ui, j0, mask
+):
+    """Target-shell selection + Doppler-broadened momentum + scattered
+    energy (the second half of GCOa; reference kernel :1408-1515)."""
+    n = energy.shape[0]
+    s_max = f_open.shape[0]
     costh = 1.0 - cdt1
 
     # --- target shell + Doppler-broadened momentum ---------------------
@@ -232,8 +274,6 @@ def compton_scatter_rows(
 
     new_energy = jnp.where(mask, new_energy, energy)
     costh = jnp.where(mask, costh, 1.0)
-    if return_accepted:
-        return new_energy, costh, accepted
     return new_energy, costh
 
 

@@ -413,6 +413,11 @@ class EngineConfig:
     # fastest on TPU) or None to inherit the caller's key implementation
     # (threefry by default - bit-reproducible across backends)
     rng_impl: str | None = "rbg"
+    # sample the Compton scattering angle from the tabulated inverse CDF
+    # (one row gather + lerp; engine v3.4b) instead of the 16-trip GCOa
+    # tau rejection. False restores the analytic rejection path (used for
+    # the chi-square A/B validation in tests/test_sampler_statistics.py)
+    tau_table: bool = True
 
     @property
     def event_lanes(self) -> int:
@@ -1076,7 +1081,6 @@ def run_projection(
         photo = valid_e & ~want_c & ~want_r
 
         # --- Compton: masked in-batch; shell rows via one MXU matmul -----
-        s0_e = e6[:, 4]
         shell_rows = jax.lax.dot_general(
             shell_cat, onehot_e,
             dimension_numbers=(((0,), (1,)), ((), ())),
@@ -1086,13 +1090,58 @@ def run_projection(
             # energies); the one-hot operand makes the fetch bit-exact
             precision=jax.lax.Precision.HIGHEST,
         )  # [3*s_max, c_e] shell-major
-        new_e_c, costh_c = samplers.compton_scatter_rows(
-            k_comp, e_e, s0_e,
-            shell_rows[:s_max],
-            shell_rows[s_max : 2 * s_max],
-            shell_rows[2 * s_max :],
-            want_c,
-        )
+        if config.tau_table:
+            # scattering angle from the tabulated inverse CDF: one row
+            # gather (stochastic interpolation between the two bracketing
+            # log-energy rows, PENELOPE-style) + a linear interpolation at
+            # an equal-probability knot - replaces the 16-trip tau
+            # rejection and its per-trip [s_max, c_e] shell-profile math
+            k_tau, k_shell = jax.random.split(k_comp)
+            u2 = uniform_open(k_tau, (2, c_e))
+            n_ie = tables.n_icdf_energies
+            pos = jnp.clip(
+                (jnp.log(e_e) - tables.icdf_log_lo)
+                * ((n_ie - 1.0) / (tables.icdf_log_hi - tables.icdf_log_lo)),
+                0.0,
+                n_ie - 1.0,
+            )
+            j_e = jnp.floor(pos).astype(jnp.int32)
+            j_e = jnp.minimum(
+                j_e + (u2[0] < pos - j_e).astype(jnp.int32), n_ie - 1
+            )
+            icdf_rows = tables.compton_icdf[j_e * n_mats + mat_e]  # [c_e, K]
+            k_knots = icdf_rows.shape[1]
+            sk = u2[1] * (k_knots - 1)
+            jk = jnp.floor(sk).astype(jnp.int32)
+            fk = sk - jk
+            iota_k = jnp.arange(k_knots, dtype=jnp.int32)[None, :]
+            # one-hot selects (take_along_axis lowers to per-index gathers)
+            v0 = jnp.sum(
+                jnp.where(iota_k == jk[:, None], icdf_rows, 0.0), axis=1
+            )
+            v1 = jnp.sum(
+                jnp.where(
+                    iota_k == jnp.minimum(jk + 1, k_knots - 1)[:, None],
+                    icdf_rows, 0.0,
+                ),
+                axis=1,
+            )
+            cdt1_c = v0 * (1.0 - fk) + v1 * fk
+            new_e_c, costh_c = samplers.compton_scatter_rows_tab(
+                k_shell, e_e, cdt1_c,
+                shell_rows[:s_max],
+                shell_rows[s_max : 2 * s_max],
+                shell_rows[2 * s_max :],
+                want_c,
+            )
+        else:
+            new_e_c, costh_c = samplers.compton_scatter_rows(
+                k_comp, e_e, e6[:, 4],
+                shell_rows[:s_max],
+                shell_rows[s_max : 2 * s_max],
+                shell_rows[2 * s_max :],
+                want_c,
+            )
 
         # --- Rayleigh: rarer; sub-compacted batch with row-fetched RITA --
         c_r = config.rayleigh_lanes

@@ -132,21 +132,31 @@ def project_forward(
     out = np.empty(
         (len(angles_deg), geometry.n_pixels_v, geometry.n_pixels_u), np.float32
     )
+    # the detector is marched in row tiles of <= ~200k pixels: a single
+    # program over the full 1024x768 grid reproducibly crashes the TPU
+    # runtime (kernel fault in the [nv, nu]-shaped gather chain at ~786k
+    # rays x ~2000 steps), and tiling also bounds the gather scratch
+    n_v = geometry.n_pixels_v
+    max_rows = max(1, min(n_v, 200_000 // max(geometry.n_pixels_u, 1)))
+    n_tiles = -(-n_v // max_rows)
+    rows_per_tile = -(-n_v // n_tiles)  # equalised -> fewer compile shapes
     for i in range(len(angles_deg)):
         det_center = sources[i] + dirs[i] * geometry.sdd
-        out[i] = np.asarray(
-            _project_one(
-                volume,
-                jnp.asarray(volume_origin, jnp.float32),
-                jnp.asarray(spacing, jnp.float32),
-                jnp.asarray(sources[i], jnp.float32),
-                jnp.asarray(det_center, jnp.float32),
-                jnp.asarray(e_us[i], jnp.float32),
-                jnp.asarray(e_v, jnp.float32),
-                pixel_u,
-                pixel_v,
-                n_steps=n_steps,
-                step_mm=jnp.float32(step_mm),
+        for v0 in range(0, n_v, rows_per_tile):
+            v1 = min(v0 + rows_per_tile, n_v)
+            out[i, v0:v1] = np.asarray(
+                _project_one(
+                    volume,
+                    jnp.asarray(volume_origin, jnp.float32),
+                    jnp.asarray(spacing, jnp.float32),
+                    jnp.asarray(sources[i], jnp.float32),
+                    jnp.asarray(det_center, jnp.float32),
+                    jnp.asarray(e_us[i], jnp.float32),
+                    jnp.asarray(e_v, jnp.float32),
+                    pixel_u,
+                    pixel_v[v0:v1],
+                    n_steps=n_steps,
+                    step_mm=jnp.float32(step_mm),
+                )
             )
-        )
     return out

@@ -149,3 +149,66 @@ def test_rayleigh_chi2_vs_scalar_reference(table_set, tables, energy_kev):
         [rayleigh_scalar(rng, energy, rita, pmax) for _ in range(100_000)]
     )
     assert _chi2_two_sample(costh, ref) < 1.6
+
+
+def _tab_sample(tables, table_set, material, energy, n, seed=3):
+    """Sample Compton (E', costh) via the tabulated inverse-CDF path the
+    way the engine does it (stochastic energy-row pick + knot lerp)."""
+    mat_idx = table_set.index_of(material)
+    e = jnp.full((n,), energy, jnp.float32)
+    mat = jnp.full((n,), mat_idx, jnp.int32)
+    k_tau, k_shell = jax.random.split(jax.random.PRNGKey(seed))
+    u2 = jax.random.uniform(k_tau, (2, n))
+    n_ie = tables.n_icdf_energies
+    lo, hi = float(tables.icdf_log_lo), float(tables.icdf_log_hi)
+    pos = jnp.clip(
+        (jnp.log(e) - lo) * ((n_ie - 1.0) / (hi - lo)), 0.0, n_ie - 1.0
+    )
+    j_e = jnp.floor(pos).astype(jnp.int32)
+    j_e = jnp.minimum(j_e + (u2[0] < pos - j_e).astype(jnp.int32), n_ie - 1)
+    rows = tables.compton_icdf[j_e * tables.n_mats + mat]
+    kk = rows.shape[1]
+    sk = u2[1] * (kk - 1)
+    jk = jnp.floor(sk).astype(jnp.int32)
+    fk = sk - jk
+    iota = jnp.arange(kk)[None, :]
+    v0 = jnp.sum(jnp.where(iota == jk[:, None], rows, 0.0), axis=1)
+    v1 = jnp.sum(
+        jnp.where(iota == jnp.minimum(jk + 1, kk - 1)[:, None], rows, 0.0),
+        axis=1,
+    )
+    cdt1 = v0 * (1.0 - fk) + v1 * fk
+    new_e, costh = samplers.compton_scatter_rows_tab(
+        k_shell, e, cdt1,
+        tables.shell_f[mat].T, tables.shell_ui[mat].T, tables.shell_j0[mat].T,
+        jnp.ones((n,), bool),
+    )
+    return np.asarray(new_e), np.asarray(costh)
+
+
+@pytest.mark.parametrize(
+    "material,energy_kev",
+    [
+        ("h2o", 60.0),
+        ("h2o", 24.0),
+        pytest.param("bone_100", 100.0, marks=pytest.mark.slow),
+        pytest.param("aluminium", 40.0, marks=pytest.mark.slow),
+    ],
+)
+def test_compton_tau_table_chi2_vs_analytic(table_set, tables, material,
+                                            energy_kev):
+    """The tabulated inverse-CDF angle sampler (engine v3.4b) must agree
+    with the analytic GCOa rejection path: chi-square/dof on cos(theta)
+    and E' over 50 quantile bins stays in the statistical band. A knot- or
+    energy-grid resolution bias of ~1% would push chi2/dof >> 2."""
+    energy = energy_kev * 1e3
+    n = 400_000
+    e, s0, f, ui, j0 = _compton_rows(table_set, tables, material, energy, n)
+    ref_e, ref_c = samplers.compton_scatter_rows(
+        jax.random.PRNGKey(5), e, s0, f, ui, j0, jnp.ones((n,), bool)
+    )
+    tab_e, tab_c = _tab_sample(tables, table_set, material, energy, n)
+    chi_c = _chi2_two_sample(tab_c, np.asarray(ref_c))
+    chi_e = _chi2_two_sample(tab_e, np.asarray(ref_e))
+    assert chi_c < 2.0, chi_c
+    assert chi_e < 2.0, chi_e
