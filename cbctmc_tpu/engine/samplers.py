@@ -131,7 +131,7 @@ def compton_scatter_rows(
     # rejection into a handful of kernels that read the [s_max, n] shell
     # rows from HBM once instead of per trip - the shell-row traffic, not
     # the transcendentals, dominated the event stage before
-    k_tau, k_shell, key = jax.random.split(key, 3)
+    k_tau, k_shell = jax.random.split(key)
     u_tau = uniform_open(k_tau, (3 * COMPTON_TAU_TRIPS, n))
 
     tau0 = jnp.ones((n,), jnp.float32)
@@ -194,6 +194,45 @@ def compton_scatter_rows_tab(
     return _shell_doppler_and_energy(
         key, energy, tau, cdt1, f_open, open_shell, ui, j0_rows, mask
     )
+
+
+def sample_compton_cdt1_tab(
+    u2: jnp.ndarray,
+    energy: jnp.ndarray,
+    mat: jnp.ndarray,
+    tables: DeviceTables,
+) -> jnp.ndarray:
+    """Map two uniforms [2, n] to a Compton 1-cos(theta) sample via the
+    tabulated inverse CDF: stochastic interpolation between the two
+    bracketing log-energy rows (PENELOPE-style) + linear interpolation at
+    an equal-probability knot. Shared by the engine event stage
+    (transport._resolve) and the chi-square A/B test so both exercise the
+    SAME sampling path. Callers supply the uniforms so the engine's RNG
+    stream is unaffected by where this lives."""
+    n_ie = tables.n_icdf_energies
+    pos = jnp.clip(
+        (jnp.log(energy) - tables.icdf_log_lo)
+        * ((n_ie - 1.0) / (tables.icdf_log_hi - tables.icdf_log_lo)),
+        0.0,
+        n_ie - 1.0,
+    )
+    j_e = jnp.floor(pos).astype(jnp.int32)
+    j_e = jnp.minimum(j_e + (u2[0] < pos - j_e).astype(jnp.int32), n_ie - 1)
+    rows = tables.compton_icdf[j_e * tables.n_mats + mat]  # [n, K]
+    k_knots = rows.shape[1]
+    sk = u2[1] * (k_knots - 1)
+    jk = jnp.floor(sk).astype(jnp.int32)
+    fk = sk - jk
+    iota_k = jnp.arange(k_knots, dtype=jnp.int32)[None, :]
+    # one-hot selects (take_along_axis lowers to per-index gathers)
+    v0 = jnp.sum(jnp.where(iota_k == jk[:, None], rows, 0.0), axis=1)
+    v1 = jnp.sum(
+        jnp.where(
+            iota_k == jnp.minimum(jk + 1, k_knots - 1)[:, None], rows, 0.0
+        ),
+        axis=1,
+    )
+    return v0 * (1.0 - fk) + v1 * fk
 
 
 def _shell_doppler_and_energy(

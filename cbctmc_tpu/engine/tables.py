@@ -272,13 +272,21 @@ def fit_log_mfp_poly(
     """
     n_bins = mfp_curve.shape[0]
     energies = e0 + de * np.arange(n_bins, dtype=np.float64)
-    # oversample between the table knots: the engine evaluates the
-    # piecewise-linear interpolation, so conservativeness must hold on the
-    # segments, not only at the knots (linear in E between knots)
+    # HARMONIC oversampling between the table knots: every tier's true
+    # acceptance curve is the reciprocal of a piecewise-linear inverse MFP
+    # (the per-material (a, b) inv tables; linearize_inverse_mfp for air),
+    # and the reciprocal-of-interpolated-inverse lies BELOW both the linear
+    # chord of the MFP knots (AM-HM) and the true min-MFP curve (a max of
+    # linear functions is >= the chord through its knot values), so fitting
+    # below it is conservative at mid-bin energies too, not only at knots
     e_fine = e0 + (de / oversample) * np.arange(
         (n_bins - 1) * oversample + 1, dtype=np.float64
     )
-    mfp_fine = np.interp(e_fine, energies, np.asarray(mfp_curve, np.float64))
+    inv_fine = np.interp(
+        e_fine, energies,
+        1.0 / np.maximum(np.asarray(mfp_curve, np.float64), 1e-300),
+    )
+    mfp_fine = 1.0 / np.maximum(inv_fine, 1e-300)
     lo, hi = np.log(energies[0]), np.log(energies[-1])
     t = (np.log(e_fine) - lo) / (hi - lo)
     coeffs = np.polyfit(t, np.log(mfp_fine), degree)

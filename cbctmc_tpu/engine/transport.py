@@ -388,8 +388,8 @@ class EngineConfig:
     # With 1, a lane that hits a real event early in the flight unroll idles
     # until the end of the iteration (measured ~14% of all flight slots);
     # with 2, events from the first half resolve mid-iteration and the lane
-    # resumes flying immediately with refreshed majorant MFPs scattered
-    # back from the event batch
+    # resumes flying immediately (majorants are analytic since v3.4, so the
+    # resume needs no table refresh)
     n_resolves: int = 2
     # Real events are compacted into a batch of n_lanes * event_fraction
     # lanes per resolve; events beyond the budget simply stay pending (the
@@ -661,8 +661,12 @@ def run_projection(
     if carry_in is not None:
         state.update(carry_in._asdict())
     if return_stats:
-        state["counts"] = jnp.zeros((10,), jnp.float32)  # stash, final, compton,
-        # rayleigh, photo, refills, adoptions, flights-active
+        # v3.4 compacted-tally layout: [0] detector records tallied
+        # (combined stash/parked primary pass + rare-doubles pass),
+        # [1] unused, [2] compton, [3] rayleigh, [4] photoelectric,
+        # [5] refills, [6] adoptions, [7] flight-slots active,
+        # [8] detector energy tallied, [9] unused
+        state["counts"] = jnp.zeros((10,), jnp.float32)
     if config.tally_dose:
         state["voxel_dose"] = jnp.zeros((n_voxels,), jnp.float32)
         state["material_dose"] = jnp.zeros((n_mats, 2), jnp.float32)
@@ -1098,35 +1102,7 @@ def run_projection(
             # rejection and its per-trip [s_max, c_e] shell-profile math
             k_tau, k_shell = jax.random.split(k_comp)
             u2 = uniform_open(k_tau, (2, c_e))
-            n_ie = tables.n_icdf_energies
-            pos = jnp.clip(
-                (jnp.log(e_e) - tables.icdf_log_lo)
-                * ((n_ie - 1.0) / (tables.icdf_log_hi - tables.icdf_log_lo)),
-                0.0,
-                n_ie - 1.0,
-            )
-            j_e = jnp.floor(pos).astype(jnp.int32)
-            j_e = jnp.minimum(
-                j_e + (u2[0] < pos - j_e).astype(jnp.int32), n_ie - 1
-            )
-            icdf_rows = tables.compton_icdf[j_e * n_mats + mat_e]  # [c_e, K]
-            k_knots = icdf_rows.shape[1]
-            sk = u2[1] * (k_knots - 1)
-            jk = jnp.floor(sk).astype(jnp.int32)
-            fk = sk - jk
-            iota_k = jnp.arange(k_knots, dtype=jnp.int32)[None, :]
-            # one-hot selects (take_along_axis lowers to per-index gathers)
-            v0 = jnp.sum(
-                jnp.where(iota_k == jk[:, None], icdf_rows, 0.0), axis=1
-            )
-            v1 = jnp.sum(
-                jnp.where(
-                    iota_k == jnp.minimum(jk + 1, k_knots - 1)[:, None],
-                    icdf_rows, 0.0,
-                ),
-                axis=1,
-            )
-            cdt1_c = v0 * (1.0 - fk) + v1 * fk
+            cdt1_c = samplers.sample_compton_cdt1_tab(u2, e_e, mat_e, tables)
             new_e_c, costh_c = samplers.compton_scatter_rows_tab(
                 k_shell, e_e, cdt1_c,
                 shell_rows[:s_max],

@@ -184,7 +184,7 @@ def main(images_path, air_path, output_folder, bin_factor, crop_x, start_angle,
             scatter, sigma=(0, 8, 8), mode="nearest"
         )
         corrected = np.maximum(total_images - scatter_est, 0.0)
-        air_sc = air[0] if air.shape[0] == 2 else air[0]
+        air_sc = air[0]  # channel 0 is PRIMARY in both stack formats
         norm_c = prep(corrected, air_sc)
         wpc_c = run_wpc_fit(norm_c, cb, angles, grid, n_orders=wpc_orders)
         vol_c = engine_volume_to_mc_frame(

@@ -159,25 +159,8 @@ def _tab_sample(tables, table_set, material, energy, n, seed=3):
     mat = jnp.full((n,), mat_idx, jnp.int32)
     k_tau, k_shell = jax.random.split(jax.random.PRNGKey(seed))
     u2 = jax.random.uniform(k_tau, (2, n))
-    n_ie = tables.n_icdf_energies
-    lo, hi = float(tables.icdf_log_lo), float(tables.icdf_log_hi)
-    pos = jnp.clip(
-        (jnp.log(e) - lo) * ((n_ie - 1.0) / (hi - lo)), 0.0, n_ie - 1.0
-    )
-    j_e = jnp.floor(pos).astype(jnp.int32)
-    j_e = jnp.minimum(j_e + (u2[0] < pos - j_e).astype(jnp.int32), n_ie - 1)
-    rows = tables.compton_icdf[j_e * tables.n_mats + mat]
-    kk = rows.shape[1]
-    sk = u2[1] * (kk - 1)
-    jk = jnp.floor(sk).astype(jnp.int32)
-    fk = sk - jk
-    iota = jnp.arange(kk)[None, :]
-    v0 = jnp.sum(jnp.where(iota == jk[:, None], rows, 0.0), axis=1)
-    v1 = jnp.sum(
-        jnp.where(iota == jnp.minimum(jk + 1, kk - 1)[:, None], rows, 0.0),
-        axis=1,
-    )
-    cdt1 = v0 * (1.0 - fk) + v1 * fk
+    # the SAME sampling path the engine event stage runs (shared helper)
+    cdt1 = samplers.sample_compton_cdt1_tab(u2, e, mat, tables)
     new_e, costh = samplers.compton_scatter_rows_tab(
         k_shell, e, cdt1,
         tables.shell_f[mat].T, tables.shell_ui[mat].T, tables.shell_j0[mat].T,

@@ -223,6 +223,24 @@ def test_majorant_poly_conservative(table_set):
         # cost of the analytic tier stays small
         assert (fit / curve).min() > 0.85
 
+    # air tier: the engine's true acceptance curve is 1/inv_air(E) with
+    # inv_air piecewise-LINEAR (linearize_inverse_mfp), which between knots
+    # lies BELOW the chord of the MFP knot values (1/x convexity) - the fit
+    # must stay under the true curve, not only the chord
+    from cbctmc_tpu.physics.materials import linearize_inverse_mfp
+
+    air = table_set.materials[0]
+    a_air, b_air = linearize_inverse_mfp(
+        np.asarray(air.mfp_total)[None], np.array([air.density]), e0, de
+    )
+    inv_air = np.asarray(a_air[0], np.float64)[bins] + e_fine * np.asarray(
+        b_air[0], np.float64
+    )[bins]
+    true_mfp_air = 1.0 / np.maximum(inv_air, 1e-30)
+    fit_air = np.exp(np.polyval(np.asarray(wt.air_logpoly, np.float64), t))
+    assert (fit_air <= true_mfp_air * (1.0 + 1e-6)).all()
+    assert (fit_air / true_mfp_air).min() > 0.85
+
 
 def test_tally_doubles_overflow_carry(table_set, mono60):
     """A starved rare-doubles tally budget must not lose detector energy:
@@ -248,3 +266,24 @@ def test_tally_doubles_overflow_carry(table_set, mono60):
         assert img_starved[ch].sum() == pytest.approx(
             img_default[ch].sum(), rel=0.05
         )
+
+
+def test_tau_table_engine_ab(table_set, mono60):
+    """The in-engine analytic Compton fallback (EngineConfig.tau_table=False,
+    transport._resolve) must agree channel-by-channel with the default
+    tabulated-ICDF path within statistics. The sampler-level chi-square A/B
+    lives in test_sampler_statistics.py; this covers the engine branch and
+    its s0 plumbing end-to-end."""
+    mats, dens = _scene(table_set, with_water_slab=True)
+    img_tab = _simulate(table_set, mono60, mats, dens, n_histories=400_000,
+                        seed=7, config=CONFIG)
+    img_ana = _simulate(
+        table_set, mono60, mats, dens, n_histories=400_000, seed=8,
+        config=EngineConfig(n_lanes=1 << 14, max_virtual_trips=8,
+                            tau_table=False),
+    )
+    assert img_ana.sum() == pytest.approx(img_tab.sum(), rel=0.03)
+    # per-channel: primary identical physics; compton channel exercises the
+    # analytic tau rejection; rayleigh/multi are small but nonzero
+    for ch, rel in ((0, 0.03), (1, 0.08), (2, 0.15)):
+        assert img_ana[ch].sum() == pytest.approx(img_tab[ch].sum(), rel=rel)
