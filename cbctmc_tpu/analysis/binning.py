@@ -116,8 +116,13 @@ def calculate_phase(
     peaks = list(find_peaks(curve))
     if peaks and peaks[0] == 0:
         peaks = peaks[1:]
-    elif peaks and peaks[-1] == len(curve) - 1:
+    if peaks and peaks[-1] == len(curve) - 1:
         peaks = peaks[:-1]
+    if not peaks:
+        # AMPD finds no interior peak on signals shorter than ~2 cycles
+        # (e.g. a single-breath 4D acquisition); anchor phase 0 at the
+        # global maximum so the tiled-median-cycle fill covers the curve.
+        peaks = [int(np.argmax(curve))]
 
     phase = np.full(len(curve), np.nan, np.float32)
     for left, right in zip(peaks[:-1], peaks[1:]):

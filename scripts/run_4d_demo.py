@@ -165,8 +165,11 @@ def main(output_folder, n_projections, n_histories, air_histories,
     from cbctmc_tpu.cli import _forward_project_geometry_4d
 
     t3 = time.monotonic()
-    _forward_project_geometry_4d(sim_folder, n_projections=n_projections)
-    print(f"density_fp_4d done ({time.monotonic()-t3:.0f}s)", flush=True)
+    if (sim_folder / "density_fp_4d.mha").is_file():
+        print("density_fp_4d.mha present; skipping", flush=True)
+    else:
+        _forward_project_geometry_4d(sim_folder, n_projections=n_projections)
+        print(f"density_fp_4d done ({time.monotonic()-t3:.0f}s)", flush=True)
 
     # ------------------------------------------------------------------
     # ROOSTER 4D reconstruction on a 4x-binned detector grid

@@ -110,6 +110,24 @@ def test_binning_pipeline():
     assert not np.isnan(np.hstack(phases)).any()
 
 
+def test_phase_on_single_cycle_signal():
+    # AMPD finds no interior peak on signals shorter than ~2 cycles (e.g.
+    # a single-breath 4D demo acquisition); calculate_phase must anchor at
+    # the global maximum instead of crashing (regression: runs/4d_demo).
+    t = np.linspace(0.0, 1.0, 120)
+    sig = np.sin(np.pi * t) ** 4  # one breath, peak mid-signal
+    phase01 = scale_signal_to_phase_for_rooster(sig)
+    assert phase01.shape == sig.shape
+    assert not np.isnan(phase01).any()
+    assert (phase01 >= 0).all() and (phase01 < 1).all()
+    assert phase01[np.argmax(sig)] == pytest.approx(0.0, abs=1e-6)
+
+    # degenerate monotone / constant signals must not crash either
+    for sig in (np.linspace(1, 0, 50), np.linspace(0, 1, 50), np.ones(30)):
+        p = scale_signal_to_phase_for_rooster(sig)
+        assert not np.isnan(p).any()
+
+
 def test_mtf():
     assert michelson_contrast(np.array([0.0, 1.0])) == 1.0
     mtf = calculate_mtf(
