@@ -1,0 +1,162 @@
+"""Engine-config throughput sweep + kernel census for the best config.
+
+Sweeps EngineConfig knobs (lanes, flights/iteration, resolves, event
+budget) on a CatPhan604 scene and prints throughput, flight-slot
+utilisation and flights/history per config, then captures a device trace
+of the winner. The lane-count axis probes the fixed-dispatch share: every
+TPU gather/scatter costs ~0.65 ms dispatch + ~2.4-4.6 ns per lane index
+(docs/ROADMAP.md), so doubling lanes amortises the fixed part across
+twice the histories if HBM latency doesn't regress.
+
+Usage (TPU):
+    python scripts/sweep_engine_configs.py --scene 256
+    python scripts/sweep_engine_configs.py --scene full --configs T4 T4_L21
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import click
+
+
+def build_configs():
+    from cbctmc_tpu.engine.transport import EngineConfig
+
+    return {
+        # 1M-lane family (v3.2 sweep winner was T4 at 1M lanes)
+        "T4": EngineConfig(n_lanes=1 << 20, max_virtual_trips=4,
+                           event_fraction=0.35),
+        "T6_R3": EngineConfig(n_lanes=1 << 20, max_virtual_trips=6,
+                              event_fraction=0.35, n_resolves=3),
+        "T6_R2": EngineConfig(n_lanes=1 << 20, max_virtual_trips=6,
+                              event_fraction=0.35),
+        "T8": EngineConfig(n_lanes=1 << 20, max_virtual_trips=8,
+                           event_fraction=0.35),
+        # 2M-lane family: amortises the ~0.65 ms/op dispatch floor
+        "T4_L21": EngineConfig(n_lanes=1 << 21, max_virtual_trips=4,
+                               event_fraction=0.35),
+        "T6_L21_R3": EngineConfig(n_lanes=1 << 21, max_virtual_trips=6,
+                                  event_fraction=0.35, n_resolves=3),
+    }
+
+
+@click.command()
+@click.option("--scene", type=click.Choice(["smoke", "256", "full"]),
+              default="256")
+@click.option("--configs", "config_names", multiple=True,
+              help="subset of config names; default all")
+@click.option("--chunk", type=float, default=5e7)
+@click.option("--reps", type=int, default=3)
+@click.option("--trace/--no-trace", default=True)
+def main(scene, config_names, chunk, reps, trace):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+
+    from cbctmc_tpu.engine.ct import ScanGeometry, build_scan
+    from cbctmc_tpu.engine.tables import build_device_tables
+    from cbctmc_tpu.engine.transport import make_scene, run_projection
+    from cbctmc_tpu.geometry.phantoms import CatPhan604Geometry
+    from cbctmc_tpu.physics.materials import default_material_set
+    from cbctmc_tpu.physics.spectrum import default_spectrum
+    from cbctmc_tpu.utils.profiling import capture_trace, kernel_census
+
+    table_set = default_material_set()
+    tables = build_device_tables(table_set, default_spectrum())
+
+    if scene == "smoke":
+        shape, spacing_mm, n_pix = (64, 64, 64), 4.0, (116, 48)
+    elif scene == "256":
+        shape, spacing_mm, n_pix = (256, 256, 256), 2.0, (1848, 768)
+    else:
+        shape, spacing_mm, n_pix = (500, 500, 500), 1.0, (1848, 768)
+
+    print("building phantom...", flush=True)
+    phantom = CatPhan604Geometry(shape=shape, image_spacing=(spacing_mm,) * 3)
+    mats = np.ascontiguousarray(
+        np.rot90(phantom.materials, k=3, axes=(0, 1))).astype(np.int32) - 1
+    dens = np.ascontiguousarray(np.rot90(phantom.densities, k=3, axes=(0, 1)))
+    volume, woodcock = make_scene(table_set, mats, dens,
+                                  (spacing_mm / 10.0,) * 3)
+
+    half = shape[0] * spacing_mm / 2 / 10.0
+    geom = ScanGeometry(
+        n_pixels_x=n_pix[0], n_pixels_z=n_pix[1],
+        detector_size_x=71.7024, detector_size_z=29.7984,
+        sdd=150.0, sad=100.0,
+        aperture_phi1=1.481720423651376, aperture_phi2=13.441979314886868,
+        aperture_theta=-1.0,
+        source_position_0=(half, half - 100.0, half),
+    )
+    source, detector = build_scan(geom, [270.0])
+    src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
+    det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
+
+    def make_run(config):
+        def run(n, seed, stats=False):
+            out = run_projection(
+                tables, woodcock, volume, src, det,
+                jnp.int32(n), jax.random.PRNGKey(seed),
+                n_pixels_x=n_pix[0], n_pixels_z=n_pix[1], config=config,
+                return_stats=stats,
+            )
+            jax.block_until_ready(out)
+            return out
+        return run
+
+    all_configs = build_configs()
+    if config_names:
+        all_configs = {k: all_configs[k] for k in config_names}
+    if scene == "smoke":  # CPU-sized lanes/chunks, same code paths
+        import dataclasses
+
+        all_configs = {
+            k: dataclasses.replace(v, n_lanes=1 << 14)
+            for k, v in all_configs.items()
+        }
+        chunk = min(chunk, 2e5)
+
+    chunk = int(chunk)
+    best, best_tp = None, 0.0
+    for name, config in all_configs.items():
+        run = make_run(config)
+        print(f"=== {name}", flush=True)
+        t0 = time.monotonic()
+        run(2_000_000, 0)
+        print(f"compile+warmup {time.monotonic()-t0:.1f}s", flush=True)
+        t0 = time.monotonic()
+        for i in range(reps):
+            run(chunk, i + 1)
+        dt = time.monotonic() - t0
+        tp = reps * chunk / dt
+        print(f"{name} throughput: {tp:.3e} hist/s ({dt:.1f}s)", flush=True)
+        img, extras = run(2 * chunk, 7, stats=True)
+        c = np.asarray(extras["counts"])
+        iters = int(extras["iterations"])
+        T = config.max_virtual_trips
+        print(f"  flights/history: {c[7]/(2*chunk):.2f}  utilisation: "
+              f"{c[7]/(iters*T*config.n_lanes):.3f}  iters: {iters}",
+              flush=True)
+        print(f"  tallied energy: {c[8]:.4g} eV  image sum: "
+              f"{float(np.asarray(img).sum()):.4g}", flush=True)
+        if tp > best_tp:
+            best, best_tp = name, tp
+
+    print(f"BEST: {best} {best_tp:.3e}", flush=True)
+    if trace:
+        run = make_run(all_configs[best])
+        path = capture_trace(lambda: run(20_000_000, 11))
+        for r in kernel_census(path, top=30):
+            print(f"  {r['total_ms']:9.2f} ms  x{r['count']:<6} "
+                  f"{r['name'][:110]}", flush=True)
+        print("trace at", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
