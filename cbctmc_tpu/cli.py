@@ -424,10 +424,13 @@ def recon_mc(projections_filepath, method, output_folder, output_filename,
 @click.option("--n-runs", type=int, default=10)
 @click.option("--n-projections", type=int, default=894)
 @click.option("--shape", type=(int, int, int), default=(500, 500, 150))
+@click.option("--detector-binning", type=int, default=1,
+              help="average-pool the detector before normalisation; the "
+                   "fit grid (photons/pixel recorded per sample)")
 @click.option("--loglevel", type=click.Choice(
     ["debug", "info", "warning", "error", "critical"]), default="info")
 def fit_noise(output_folder, n_histories_start, n_runs, n_projections, shape,
-              loglevel):
+              detector_binning, loglevel):
     """Fit n_histories to match the measured Varian noise level
     (the reference's ``fit-noise``)."""
     _init_logging(loglevel)
@@ -439,6 +442,7 @@ def fit_noise(output_folder, n_histories_start, n_runs, n_projections, shape,
         n_runs=n_runs,
         n_projections=n_projections,
         phantom_shape=shape,
+        detector_binning=detector_binning,
     )
     click.echo(json.dumps(result, indent=2))
 
@@ -448,9 +452,11 @@ def fit_noise(output_folder, n_histories_start, n_runs, n_projections, shape,
 @click.option("--line-gaps", type=float, multiple=True, default=(1.0, 2.0, 3.0, 4.0))
 @click.option("--n-histories", type=float, default=1e9)
 @click.option("--n-projections", type=int, default=894)
+@click.option("--detector-binning", type=int, default=2)
 @click.option("--loglevel", type=click.Choice(
     ["debug", "info", "warning", "error", "critical"]), default="info")
-def run_mc_lp(output_folder, line_gaps, n_histories, n_projections, loglevel):
+def run_mc_lp(output_folder, line_gaps, n_histories, n_projections,
+              detector_binning, loglevel):
     """Line-pair phantom MTF workflow (the reference's ``run-mc-lp``)."""
     _init_logging(loglevel)
     from cbctmc_tpu.pipeline.mtf_workflow import run_line_pair_simulations
@@ -460,6 +466,7 @@ def run_mc_lp(output_folder, line_gaps, n_histories, n_projections, loglevel):
         line_gaps=line_gaps,
         n_histories=int(n_histories),
         n_projections=n_projections,
+        detector_binning=detector_binning,
     )
     click.echo(json.dumps(results, indent=2))
 

@@ -327,6 +327,20 @@ def crop_half_fan(
     return flipped[..., :n_pixels_half_fan_x]
 
 
+def bin_detector(images: np.ndarray, factor: int) -> np.ndarray:
+    """Average-pool the last two (detector) axes by ``factor`` — the
+    acceptance protocol's statistics/resolution trade, applied to the RAW
+    signal before log-normalisation (physically: larger pixels)."""
+    if factor <= 1:
+        return images
+    v = images.shape[-2] // factor * factor
+    u = images.shape[-1] // factor * factor
+    a = images[..., :v, :u]
+    return a.reshape(
+        *a.shape[:-2], v // factor, factor, u // factor, factor
+    ).mean(axis=(-3, -1))
+
+
 def air_normalize(
     projections_total: np.ndarray,
     air_projection: np.ndarray,

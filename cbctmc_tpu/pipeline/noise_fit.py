@@ -38,8 +38,18 @@ def simulate_and_reconstruct_water(
     seed: int = 0,
     engine_config: EngineConfig | None = None,
     recon_shape: Tuple[int, int, int] = (250, 250, 60),
+    detector_binning: int = 1,
 ) -> Dict[str, Dict[str, float]]:
-    """One noise-fit sample: simulate, FDK-reconstruct, ROI stats."""
+    """One noise-fit sample: simulate, FDK-reconstruct, ROI stats.
+
+    ``detector_binning`` average-pools the raw detector signal before the
+    log-normalisation (the acceptance protocol's statistics/resolution
+    trade). The returned dict carries a ``photons_per_pixel`` entry
+    alongside the material ROI stats: the std(n) = a/sqrt(n) + c law only
+    holds where pixels behind the phantom collect enough photons for the
+    log-normal noise to be in its Gaussian regime — below ~10 photons/pixel
+    the measured std becomes non-monotone in n (clamped zero-count pixels),
+    so every sample records the regime it was measured in."""
     engine_config = engine_config or EngineConfig()
     phantom = WaterPhantomGeometry(shape=phantom_shape)
 
@@ -66,22 +76,38 @@ def simulate_and_reconstruct_water(
         seed=seed + 1, progress=False,
     )
 
-    from cbctmc_tpu.engine.simulate import crop_half_fan
+    from cbctmc_tpu.engine.simulate import bin_detector, crop_half_fan
 
     total = crop_half_fan(images.sum(axis=1))
     # the flat-field needs the identical half-fan crop or the division
     # misaligns columns (and broadcasts wrong off the default detector)
     air_total = crop_half_fan(air_images[0].sum(axis=0)[None])[0]
+    f = max(1, int(detector_binning))
+    total = bin_detector(total, f)
+    air_total = bin_detector(air_total[None], f)[0]
+
+    p = params
+    pixel_mm = p.detector_size[0] / p.n_detector_pixels[0] * f
+    # starvation diagnostic on the fit grid: images are eV/cm^2/history;
+    # photons/pixel = signal * pixel area * n_hist / mean photon energy
+    photons = total * (pixel_mm / 10.0) ** 2 * float(n_histories) / 63_140.0
+    photon_stats = {
+        "grid_pixel_mm": float(pixel_mm),
+        "min": float(photons.min()),
+        "p1": float(np.percentile(photons, 1)),
+        "p5": float(np.percentile(photons, 5)),
+        "median": float(np.median(photons)),
+    }
+
     normalized = air_normalize(total, air_total)
     # line integrals in 1/mm units for the recon scale
     normalized = normalized[:, ::-1, :]  # undo row flip convention
 
-    p = params
     geometry = ConeBeamGeometry(
         sad=p.source_to_isocenter_distance, sdd=p.source_to_detector_distance,
         n_pixels_u=normalized.shape[2], n_pixels_v=normalized.shape[1],
-        pixel_size_u=p.detector_size[0] / p.n_detector_pixels[0],
-        pixel_size_v=p.detector_size[1] / p.n_detector_pixels[1],
+        pixel_size_u=pixel_mm,
+        pixel_size_v=p.detector_size[1] / p.n_detector_pixels[1] * f,
         detector_offset_u=-159.856,
     )
     angles = scanner.projection_angles()
@@ -91,7 +117,9 @@ def simulate_and_reconstruct_water(
         water_precorrection=DEFAULT_WPC_CATPHAN604,
     )
     volume = engine_volume_to_mc_frame(volume)
-    return WaterPhantomGeometry.calculate_roi_statistics(volume)
+    stats = WaterPhantomGeometry.calculate_roi_statistics(volume)
+    stats["photons_per_pixel"] = photon_stats
+    return stats
 
 
 def fit_noise_law(
@@ -113,6 +141,7 @@ def run_noise_fit(
     phantom_shape: Tuple[int, int, int] = (500, 500, 150),
     engine_config: EngineConfig | None = None,
     target_std: float | None = None,
+    detector_binning: int = 1,
 ) -> dict:
     """Sweep history counts, fit the noise law, solve for the count matching
     the Varian water noise."""
@@ -128,11 +157,12 @@ def run_noise_fit(
         stats = simulate_and_reconstruct_water(
             n, n_projections=n_projections, phantom_shape=phantom_shape,
             seed=1000 + i, engine_config=engine_config,
+            detector_binning=detector_binning,
         )
         stds.append(stats["water"]["std"])
         results[n] = stats
         with open(output_folder / "roi_stats.json", "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(results, f, indent=2, default=float)
         logger.info("n=%.3e -> water std %.6e", n, stds[-1])
 
     a, c = fit_noise_law(counts, stds)
@@ -145,5 +175,5 @@ def run_noise_fit(
         "samples": {str(n): s for n, s in zip(counts, stds)},
     }
     with open(output_folder / "noise_fit.json", "w") as f:
-        json.dump(summary, f, indent=2)
+        json.dump(summary, f, indent=2, default=float)
     return summary

@@ -1,9 +1,15 @@
 """Run the line-pair MTF measurement at real statistics (the reference's
 run-mc-lp workflow, scripts/run_mc_line_pairs.py) and record the table.
 
+Protocol (chosen a priori): bin-2 detector grid (0.776 mm pixels, ~0.52 mm
+at isocenter — still above Nyquist for the 1 mm line gap) and counts sized
+so the darkest pixels behind the 200 mm water cylinder collect >~10
+photons (measured per gap in mtf.json — below that the log-normalisation
+is starvation-biased, see run_noise_fit.py).
+
 Usage (TPU):
     python scripts/run_mtf.py --output-folder runs/mtf \
-        --n-histories 3e7 --n-projections 90
+        --n-histories 1e8 --n-projections 45
 """
 
 import sys
@@ -16,12 +22,14 @@ import click
 
 @click.command()
 @click.option("--output-folder", type=click.Path(path_type=Path), required=True)
-@click.option("--n-histories", type=float, default=3e7)
-@click.option("--n-projections", type=int, default=90)
+@click.option("--n-histories", type=float, default=1e8)
+@click.option("--n-projections", type=int, default=45)
 @click.option("--line-gaps", type=float, multiple=True,
               default=(1.0, 2.0, 3.0, 4.0))
 @click.option("--n-lanes", type=int, default=1 << 20)
-def main(output_folder, n_histories, n_projections, line_gaps, n_lanes):
+@click.option("--detector-binning", type=int, default=2)
+def main(output_folder, n_histories, n_projections, line_gaps, n_lanes,
+         detector_binning):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -38,6 +46,7 @@ def main(output_folder, n_histories, n_projections, line_gaps, n_lanes):
         engine_config=EngineConfig(
             n_lanes=n_lanes, max_virtual_trips=4, event_fraction=0.35
         ),
+        detector_binning=detector_binning,
     )
     print(result, flush=True)
 

@@ -13,9 +13,17 @@ by (n_views / 894) to report the 894-view equivalent. The A/sqrt(n)
 extrapolation below the sampled counts is the same extrapolation the
 reference's plot-based fit performs.
 
+Protocol (chosen a priori — lesson of the round-2 acceptance run): the
+fit runs on the acceptance record's 4x-binned detector grid and the
+sampled counts are sized so the darkest pixels behind the water stay
+well above the ~10 photons/pixel Gaussian-regime floor (a CPU smoke run
+showed std(n) turns NON-monotone below it: clamped zero-count pixels
+make std rise with n, which would silently invert the fit). Every sample
+records its measured photons/pixel so the regime is auditable.
+
 Usage (TPU):
     python scripts/run_noise_fit.py --output-folder runs/noise_fit \
-        --n-projections 120 --counts 4e6 1.6e7 6.4e7
+        --n-projections 40 --counts 6e7 1.8e8 5.4e8
 """
 
 import json
@@ -29,12 +37,14 @@ import click
 
 @click.command()
 @click.option("--output-folder", type=click.Path(path_type=Path), required=True)
-@click.option("--n-projections", type=int, default=120)
-@click.option("--counts", type=float, nargs=3, default=(4e6, 1.6e7, 6.4e7))
+@click.option("--n-projections", type=int, default=40)
+@click.option("--counts", type=float, nargs=3, default=(6e7, 1.8e8, 5.4e8))
 @click.option("--phantom-xy", type=int, default=400)
 @click.option("--phantom-z", type=int, default=120)
 @click.option("--n-lanes", type=int, default=1 << 20)
-def main(output_folder, n_projections, counts, phantom_xy, phantom_z, n_lanes):
+@click.option("--detector-binning", type=int, default=4)
+def main(output_folder, n_projections, counts, phantom_xy, phantom_z,
+         n_lanes, detector_binning):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -63,12 +73,16 @@ def main(output_folder, n_projections, counts, phantom_xy, phantom_z, n_lanes):
             n, n_projections=n_projections,
             phantom_shape=(phantom_xy, phantom_xy, phantom_z),
             seed=1000 + i, engine_config=config,
+            detector_binning=detector_binning,
         )
         stds.append(stats["water"]["std"])
         results[n] = stats
         with open(output_folder / "roi_stats.json", "w") as f:
-            json.dump(results, f, indent=2)
-        print(f"n={n:.3e} -> water std {stds[-1]:.6e}", flush=True)
+            json.dump(results, f, indent=2, default=float)
+        pp = stats["photons_per_pixel"]
+        print(f"n={n:.3e} -> water std {stds[-1]:.6e} "
+              f"(photons/pixel min {pp['min']:.1f}, p5 {pp['p5']:.1f}, "
+              f"median {pp['median']:.1f})", flush=True)
 
     a, c = fit_noise_law([int(x) for x in counts], stds)
     best_n_at_views = (a / max(target_std - c, 1e-9)) ** 2
@@ -78,14 +92,19 @@ def main(output_folder, n_projections, counts, phantom_xy, phantom_z, n_lanes):
         "fit_c": c,
         "target_std": target_std,
         "n_projections": n_projections,
+        "detector_binning": detector_binning,
+        "photons_per_pixel": {
+            str(int(n)): results[int(n)]["photons_per_pixel"]
+            for n in counts
+        },
         "best_n_histories_at_n_projections": float(best_n_at_views),
         "best_n_histories_894_view_equivalent": float(best_n_894),
         "reference_value": 11_903_320_312,
         "samples": {str(int(n)): s for n, s in zip(counts, stds)},
     }
     with open(output_folder / "noise_fit.json", "w") as f:
-        json.dump(summary, f, indent=2)
-    print(json.dumps(summary, indent=2), flush=True)
+        json.dump(summary, f, indent=2, default=float)
+    print(json.dumps(summary, indent=2, default=float), flush=True)
 
 
 if __name__ == "__main__":

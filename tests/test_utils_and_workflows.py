@@ -172,6 +172,22 @@ def test_evaluation_helpers():
     assert result["best"]["source_position_offset"] == (1.0, 0.0, 0.0)
 
 
+def test_bin_detector():
+    from cbctmc_tpu.engine.simulate import bin_detector
+
+    a = np.arange(2 * 6 * 8, dtype=np.float64).reshape(2, 6, 8)
+    out = bin_detector(a, 2)
+    assert out.shape == (2, 3, 4)
+    # average pooling: each output is the mean of its 2x2 block
+    assert out[0, 0, 0] == pytest.approx(a[0, :2, :2].mean())
+    assert out[1, 2, 3] == pytest.approx(a[1, 4:6, 6:8].mean())
+    # factor 1 is the identity; energy (mean x area) is conserved
+    assert bin_detector(a, 1) is a
+    assert out.mean() == pytest.approx(a.mean())
+    # non-divisible sizes crop the trailing rows/columns
+    assert bin_detector(np.ones((5, 7)), 2).shape == (2, 3)
+
+
 def test_noise_fit_law():
     from cbctmc_tpu.pipeline.noise_fit import fit_noise_law
 
