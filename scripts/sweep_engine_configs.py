@@ -35,11 +35,16 @@ def build_configs():
                               event_fraction=0.35),
         "T8": EngineConfig(n_lanes=1 << 20, max_virtual_trips=8,
                            event_fraction=0.35),
-        # 2M-lane family: amortises the ~0.65 ms/op dispatch floor
+        # event-budget sensitivity at the production point
+        "T4_EF50": EngineConfig(n_lanes=1 << 20, max_virtual_trips=4,
+                                event_fraction=0.5),
+        # 2M/4M-lane families: amortise the ~0.65 ms/op dispatch floor
         "T4_L21": EngineConfig(n_lanes=1 << 21, max_virtual_trips=4,
                                event_fraction=0.35),
         "T6_L21_R3": EngineConfig(n_lanes=1 << 21, max_virtual_trips=6,
                                   event_fraction=0.35, n_resolves=3),
+        "T4_L22": EngineConfig(n_lanes=1 << 22, max_virtual_trips=4,
+                               event_fraction=0.35),
     }
 
 
