@@ -95,6 +95,128 @@ def _project_one(
     return acc * step_mm
 
 
+# offsets of the 8 trilinear corners in the flat volume, as multiples of
+# (sx, sy, 1); paired with the weight products in _splat_one below. The
+# ordering mirrors _trilinear's c000..c111.
+def _corner_offsets(sx, sy):
+    return jnp.asarray(
+        [0, 1, sy, sy + 1, sx, sx + 1, sx + sy, sx + sy + 1], jnp.int32
+    )
+
+
+@partial(jax.jit, static_argnames=("n_steps", "vol_shape"))
+def _splat_one(
+    g, vol_shape, vol_origin, vol_spacing,
+    source, det_origin_point, e_u, e_v, pixel_u, pixel_v,
+    n_steps: int, step_mm,
+):
+    """Exact transpose of :func:`_project_one` with respect to the volume:
+    scatter-adds ``g * step_mm`` through the SAME ray march and trilinear
+    weights (a "splat" backprojection). Replaces reverse-mode AD of the
+    step loop, whose scan-VJP stores O(rays * n_steps) residuals — tens of
+    GB at 4D-recon scale (it OOM-killed the CPU run and kernel-faulted the
+    TPU worker). This adjoint needs O(rays + volume) memory."""
+    nx, ny, nz = vol_shape
+    uu, vv = jnp.meshgrid(pixel_u, pixel_v)  # [nv, nu]
+    det_points = (
+        det_origin_point[None, None, :]
+        + uu[..., None] * e_u[None, None, :]
+        + vv[..., None] * e_v[None, None, :]
+    )
+    ray = det_points - source[None, None, :]
+    ray_dir = ray / jnp.linalg.norm(ray, axis=-1)[..., None]
+    ray_dir = ray_dir.reshape(-1, 3)
+    gflat = (g * step_mm).reshape(-1)
+
+    sy = nz
+    sx = ny * nz
+    offs = _corner_offsets(sx, sy)  # [8]
+
+    def step_fn(i, volbar):
+        t = (i + 0.5) * step_mm
+        p = source[None, :] + ray_dir * t
+        x = (p[:, 0] - vol_origin[0]) / vol_spacing[0]
+        y = (p[:, 1] - vol_origin[1]) / vol_spacing[1]
+        z = (p[:, 2] - vol_origin[2]) / vol_spacing[2]
+        inside = (
+            (x >= 0.0) & (x <= nx - 1.0)
+            & (y >= 0.0) & (y <= ny - 1.0)
+            & (z >= 0.0) & (z <= nz - 1.0)
+        )
+        x = jnp.clip(x, 0.0, nx - 1.0)
+        y = jnp.clip(y, 0.0, ny - 1.0)
+        z = jnp.clip(z, 0.0, nz - 1.0)
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx - 2)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny - 2)
+        z0 = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, nz - 2)
+        fx, fy, fz = x - x0, y - y0, z - z0
+        base = x0 * sx + y0 * sy + z0
+        gx0, gx1 = 1.0 - fx, fx
+        gy0, gy1 = 1.0 - fy, fy
+        gz0, gz1 = 1.0 - fz, fz
+        w = jnp.stack([
+            gx0 * gy0 * gz0, gx0 * gy0 * gz1,
+            gx0 * gy1 * gz0, gx0 * gy1 * gz1,
+            gx1 * gy0 * gz0, gx1 * gy0 * gz1,
+            gx1 * gy1 * gz0, gx1 * gy1 * gz1,
+        ])  # [8, n]
+        vals = jnp.where(inside[None, :], w * gflat[None, :], 0.0)
+        idx = base[None, :] + offs[:, None]  # [8, n]
+        return volbar.at[idx.reshape(-1)].add(vals.reshape(-1))
+
+    volbar = jax.lax.fori_loop(
+        0, n_steps, step_fn, jnp.zeros(nx * ny * nz, jnp.float32)
+    )
+    return volbar.reshape(vol_shape)
+
+
+def make_linear_projector(
+    vol_shape, vol_origin, vol_spacing, pixel_u, pixel_v, e_v,
+    n_steps: int, step_mm,
+):
+    """A per-projection forward operator ``proj(volume, source,
+    det_origin_point, e_u) -> [nv, nu]`` whose reverse-mode derivative is
+    the analytic splat adjoint (:func:`_splat_one`) instead of AD through
+    the step loop. The map is linear in the volume, so the VJP is its
+    exact transpose; iterative solvers (ROOSTER CG) get matched A/A^T with
+    O(rays + volume) memory. vmap-compatible over (source, det, e_u)."""
+    vol_origin = jnp.asarray(vol_origin, jnp.float32)
+    vol_spacing = jnp.asarray(vol_spacing, jnp.float32)
+    pixel_u = jnp.asarray(pixel_u, jnp.float32)
+    pixel_v = jnp.asarray(pixel_v, jnp.float32)
+    e_v = jnp.asarray(e_v, jnp.float32)
+    step_mm = jnp.float32(step_mm)
+
+    @jax.custom_vjp
+    def proj(volume, source, det_origin_point, e_u):
+        return _project_one(
+            volume, vol_origin, vol_spacing, source, det_origin_point,
+            e_u, e_v, pixel_u, pixel_v, n_steps=n_steps, step_mm=step_mm,
+        )
+
+    def fwd(volume, source, det_origin_point, e_u):
+        return proj(volume, source, det_origin_point, e_u), (
+            source, det_origin_point, e_u,
+        )
+
+    def bwd(res, gbar):
+        source, det_origin_point, e_u = res
+        volbar = _splat_one(
+            gbar, tuple(vol_shape), vol_origin, vol_spacing, source,
+            det_origin_point, e_u, e_v, pixel_u, pixel_v,
+            n_steps=n_steps, step_mm=step_mm,
+        )
+        return (
+            volbar,
+            jnp.zeros_like(source),
+            jnp.zeros_like(det_origin_point),
+            jnp.zeros_like(e_u),
+        )
+
+    proj.defvjp(fwd, bwd)
+    return proj
+
+
 def project_forward(
     volume: np.ndarray,
     geometry: ConeBeamGeometry,

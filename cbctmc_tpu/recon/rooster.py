@@ -9,11 +9,14 @@ tviter=10, gamma_time=2e-4, gamma_space=7e-5). Algorithm after Mory et al.
 1. data-fidelity updates of each respiratory-phase volume against its
    projections: conjugate-gradient on the weighted normal equations
    (rtk "cgiter", reference reconstruction.py:105-121) with an EXACTLY
-   matched projector/adjoint pair - the adjoint is obtained with
-   reverse-mode AD of the ray-marching forward projector (for a linear
-   operator the VJP *is* the transpose), so A/A^T match by construction
-   (a Landweber fallback with the unmatched voxel-driven backprojector is
-   kept for comparison),
+   matched projector/adjoint pair - the adjoint is the analytic transpose
+   of the ray-marching forward projector (a trilinear "splat"
+   backprojection along the same march, joseph.make_linear_projector;
+   verified against AD and by the <Ax,y>=<x,A^T y> identity in
+   tests/test_rooster.py). Reverse-mode AD through the step loop computes
+   the same transpose but stores O(rays * n_steps) scan residuals, which
+   is tens of GB at 4D-demo scale. A Landweber fallback with the
+   unmatched voxel-driven backprojector is kept for comparison,
 2. spatial TV denoising of every phase (Chambolle projection algorithm),
 3. temporal TV denoising along the phase axis (cyclic).
 
@@ -35,7 +38,7 @@ import numpy as np
 
 from cbctmc_tpu.recon.fdk import fdk_reconstruct
 from cbctmc_tpu.recon.geometry import ConeBeamGeometry, VolumeGrid
-from cbctmc_tpu.recon.joseph import _project_one
+from cbctmc_tpu.recon.joseph import _project_one, make_linear_projector
 
 logger = logging.getLogger(__name__)
 
@@ -123,9 +126,10 @@ class RoosterParameters:
 def _cg_normal_equations(forward, vol0, b, w, n_iter: int):
     """Minimise ||sqrt(w) (A x - b)||^2 with conjugate gradient on the
     normal equations A^T W A x = A^T W b. ``forward`` must be linear in the
-    volume; its exact transpose comes from reverse-mode AD (for a linear
-    map the VJP is the transpose, independent of the linearisation point;
-    jax.linear_transpose cannot transpose the projector's fori_loop)."""
+    volume and carry an exact transpose as its VJP (the ray-marching
+    projector registers the analytic splat adjoint via custom_vjp —
+    joseph.make_linear_projector; plain AD of the step loop would store
+    O(rays * n_steps) residuals)."""
     _, vjp_fn = jax.vjp(forward, vol0)
 
     def at(y):
@@ -247,20 +251,43 @@ def rooster_reconstruct(
     spacing_j = jnp.asarray(spacing, jnp.float32)
 
     # pad every phase's projection set to a common size (weight 0) so one
-    # compiled CG program serves all phases
+    # compiled CG program serves all phases; the padded count is a multiple
+    # of the projection chunk so the chunked forward tiles evenly
     phase_sets = [np.where(weights[:, ph] > 1e-6)[0] for ph in range(par.n_phases)]
     max_sel = max((len(x) for x in phase_sets), default=0)
+    # bound rays per compiled projection program: beyond ~700k rays the
+    # gather chain reproducibly kernel-faults the TPU runtime (see
+    # project_forward's row tiling), and smaller programs also bound the
+    # splat-adjoint's per-lane volume copies
+    n_rays = geometry.n_pixels_v * geometry.n_pixels_u
+    proj_chunk = max(1, min(max_sel, 300_000 // max(n_rays, 1)))
+    max_sel = -(-max_sel // proj_chunk) * proj_chunk
+
+    # forward operator with the analytic splat adjoint (AD through the
+    # step-marched projector stores O(rays * steps) scan residuals — tens
+    # of GB at 4D scale)
+    _proj = make_linear_projector(
+        tuple(grid.shape), origin, spacing, pixel_u, pixel_v,
+        np.array([0.0, 0.0, 1.0]), n_steps=n_steps, step_mm=step_mm,
+    )
 
     @partial(jax.jit, static_argnames=())
     def cg_update(vol, srcs, dets, eus, b, w):
         def forward(v):
-            def one(src, det, eu):
-                return _project_one(
-                    v, origin_j, spacing_j, src, det, eu, e_v,
-                    pixel_u, pixel_v, n_steps=n_steps,
-                    step_mm=jnp.float32(step_mm),
-                )
-            return jax.vmap(one)(srcs, dets, eus)
+            def fchunk(args):
+                s, d, e = args
+                return jax.vmap(lambda a, c, u_: _proj(v, a, c, u_))(s, d, e)
+
+            out = jax.lax.map(
+                fchunk,
+                (
+                    srcs.reshape(-1, proj_chunk, 3),
+                    dets.reshape(-1, proj_chunk, 3),
+                    eus.reshape(-1, proj_chunk, 3),
+                ),
+            )
+            return out.reshape(max_sel, geometry.n_pixels_v,
+                               geometry.n_pixels_u)
 
         return _cg_normal_equations(
             forward, vol, b, w, par.n_data_subiterations

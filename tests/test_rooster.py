@@ -116,3 +116,59 @@ def test_rooster_cg_beats_landweber_at_equal_iterations():
     )
     assert np.isfinite(vols_cg).all()
     assert err_cg < err_lw * 0.9, (err_cg, err_lw)
+
+
+def test_splat_adjoint_matches_transpose_and_ad():
+    """The analytic splat adjoint must satisfy <Ax, y> = <x, A^T y>
+    exactly (up to f32 rounding) and agree with reverse-mode AD of the
+    ray-marching projector (the AD transpose is exact but stores
+    O(rays * n_steps) scan residuals, which is why production uses the
+    splat)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cbctmc_tpu.recon.joseph import _project_one, make_linear_projector
+
+    rng = np.random.RandomState(0)
+    shape = (20, 20, 6)
+    spacing = np.array([4.0, 4.0, 4.0])
+    origin = -(np.asarray(shape) - 1) * spacing / 2
+    pixel_u = (np.arange(GEOM.n_pixels_u) - (GEOM.n_pixels_u - 1) / 2) * 6.0
+    pixel_v = (np.arange(GEOM.n_pixels_v) - (GEOM.n_pixels_v - 1) / 2) * 8.0
+    e_v = np.array([0.0, 0.0, 1.0])
+    n_steps, step_mm = 160, 4.0
+
+    proj = make_linear_projector(
+        shape, origin, spacing, pixel_u, pixel_v, e_v,
+        n_steps=n_steps, step_mm=step_mm,
+    )
+    src = jnp.asarray([0.0, -400.0, 0.0], jnp.float32)
+    det = jnp.asarray([0.0, 200.0, 0.0], jnp.float32)
+    e_u = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+
+    x = jnp.asarray(rng.rand(*shape), jnp.float32)
+    y = jnp.asarray(rng.rand(GEOM.n_pixels_v, GEOM.n_pixels_u), jnp.float32)
+
+    ax = proj(x, src, det, e_u)
+    aty = jax.vjp(lambda v: proj(v, src, det, e_u), x)[1](y)[0]
+    lhs = float(jnp.vdot(ax, y))
+    rhs = float(jnp.vdot(x, aty))
+    assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), 1e-6), (lhs, rhs)
+
+    # against plain AD of the same forward (exact transpose by linearity)
+    def fwd_ad(v):
+        return _project_one(
+            v, jnp.asarray(origin, jnp.float32),
+            jnp.asarray(spacing, jnp.float32), src, det, e_u,
+            jnp.asarray(e_v, jnp.float32),
+            jnp.asarray(pixel_u, jnp.float32),
+            jnp.asarray(pixel_v, jnp.float32),
+            n_steps=n_steps, step_mm=jnp.float32(step_mm),
+        )
+
+    np.testing.assert_allclose(np.asarray(fwd_ad(x)), np.asarray(ax),
+                               rtol=1e-5, atol=1e-6)
+    aty_ad = jax.vjp(fwd_ad, x)[1](y)[0]
+    np.testing.assert_allclose(
+        np.asarray(aty), np.asarray(aty_ad), rtol=2e-4, atol=2e-5
+    )
