@@ -21,6 +21,20 @@ import numpy as np
 from cbctmc_tpu.recon.geometry import ConeBeamGeometry
 
 
+def _ray_box_entry(origin3, extent3, source, ray_dir):
+    """Per-ray entry distance into the trilinear support box
+    [origin, origin + extent] (mm). Rays that miss get t_near > t_far;
+    marching from their t_near samples outside the box, where
+    _trilinear returns 0 — correct by construction."""
+    lo = origin3[None, :]
+    hi = (origin3 + extent3)[None, :]
+    src = source[None, :]
+    t1 = (lo - src) / ray_dir
+    t2 = (hi - src) / ray_dir
+    t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    return jnp.maximum(t_near, 0.0)
+
+
 def _trilinear(volume: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray):
     """Trilinear interpolation at voxel-index coordinates; zero outside."""
     nx, ny, nz = volume.shape
@@ -80,10 +94,18 @@ def _project_one(
     ray_len = jnp.linalg.norm(ray, axis=-1)
     ray_dir = ray / ray_len[..., None]
 
-    # march from the source to the detector with fixed step
+    # march only the ray's intersection with the volume support: the
+    # per-ray AABB entry distance replaces ~3/4 of the steps a march from
+    # the source would waste outside the volume (n_steps is sized from the
+    # volume diagonal by the callers)
+    nx, ny, nz = volume.shape
+    extent = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.float32) * vol_spacing
+    t_near = _ray_box_entry(vol_origin, extent, source,
+                            ray_dir.reshape(-1, 3)).reshape(ray_len.shape)
+
     def step_fn(i, acc):
-        t = (i + 0.5) * step_mm
-        p = source[None, None, :] + ray_dir * t
+        t = t_near + (i + 0.5) * step_mm
+        p = source[None, None, :] + ray_dir * t[..., None]
         x = (p[..., 0] - vol_origin[0]) / vol_spacing[0]
         y = (p[..., 1] - vol_origin[1]) / vol_spacing[1]
         z = (p[..., 2] - vol_origin[2]) / vol_spacing[2]
@@ -128,13 +150,16 @@ def _splat_one(
     ray_dir = ray_dir.reshape(-1, 3)
     gflat = (g * step_mm).reshape(-1)
 
+    extent = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.float32) * vol_spacing
+    t_near = _ray_box_entry(vol_origin, extent, source, ray_dir)
+
     sy = nz
     sx = ny * nz
     offs = _corner_offsets(sx, sy)  # [8]
 
     def step_fn(i, volbar):
-        t = (i + 0.5) * step_mm
-        p = source[None, :] + ray_dir * t
+        t = t_near + (i + 0.5) * step_mm
+        p = source[None, :] + ray_dir * t[:, None]
         x = (p[:, 0] - vol_origin[0]) / vol_spacing[0]
         y = (p[:, 1] - vol_origin[1]) / vol_spacing[1]
         z = (p[:, 2] - vol_origin[2]) / vol_spacing[2]
@@ -241,8 +266,11 @@ def project_forward(
 
     if step_mm is None:
         step_mm = 0.5 * float(spacing.min())
-    max_path = float(geometry.sdd + np.linalg.norm(np.asarray(volume.shape) * spacing))
-    n_steps = int(np.ceil(max_path / step_mm))
+    # rays are marched from their per-ray volume entry (_ray_box_entry), so
+    # the step budget is the longest chord through the support box — the
+    # diagonal — not source-to-detector
+    max_path = float(np.linalg.norm((np.asarray(volume.shape) - 1) * spacing))
+    n_steps = int(np.ceil(max_path / step_mm)) + 1
 
     sources = geometry.source_positions(angles_deg)
     dirs = geometry.beam_directions(angles_deg)

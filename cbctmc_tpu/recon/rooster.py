@@ -195,10 +195,10 @@ def rooster_reconstruct(
     pixel_u = jnp.asarray(geometry.u_coordinates(), jnp.float32)
     pixel_v = jnp.asarray(geometry.v_coordinates(), jnp.float32)
     step_mm = 0.7 * float(spacing.min())
-    max_path = float(
-        geometry.sdd + np.linalg.norm(np.asarray(grid.shape) * spacing)
-    )
-    n_steps = int(np.ceil(max_path / step_mm))
+    # rays march from their per-ray volume entry (joseph._ray_box_entry):
+    # the step budget is the support-box diagonal, not source-to-detector
+    max_path = float(np.linalg.norm((np.asarray(grid.shape) - 1) * spacing))
+    n_steps = int(np.ceil(max_path / step_mm)) + 1
 
     from cbctmc_tpu.recon.fdk import _backproject
 
