@@ -35,8 +35,18 @@ import click
 @click.option("--n-phases", type=int, default=10)
 @click.option("--quantization", type=int, default=5)
 @click.option("--n-lanes", type=int, default=1 << 20)
+@click.option("--rooster-iterations", type=int, default=4,
+              help="ROOSTER outer iterations (reference production: 10; "
+                   "the demo's centroid-trajectory metric converges by ~4 "
+                   "from the FDK warm start)")
+@click.option("--rooster-cg-iterations", type=int, default=2,
+              help="CG sub-iterations per data term (reference: 4)")
+@click.option("--rooster-phases", type=int, default=5,
+              help="ROOSTER phase bins (reference production: 10; 72 "
+                   "demo projections give ~14 soft-assigned views/bin at 5)")
 def main(output_folder, n_projections, n_histories, air_histories,
-         amplitude_mm, n_phases, quantization, n_lanes):
+         amplitude_mm, n_phases, quantization, n_lanes,
+         rooster_iterations, rooster_cg_iterations, rooster_phases):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -186,6 +196,13 @@ def main(output_folder, n_projections, n_histories, air_histories,
 
     amplitude = np.loadtxt(sim_folder / "signal.txt")[:, 0]
     t4 = time.monotonic()
+    from cbctmc_tpu.recon.rooster import RoosterParameters
+
+    rooster_params = RoosterParameters(
+        n_phases=rooster_phases,
+        n_iterations=rooster_iterations,
+        n_data_subiterations=rooster_cg_iterations,
+    )
     recon_path = reconstruct_4d(
         binned_path,
         amplitude_signal=amplitude,
@@ -193,6 +210,7 @@ def main(output_folder, n_projections, n_histories, air_histories,
         dimension=(180, 80, 180),
         spacing=(2.0, 2.0, 2.0),
         n_projections=n_projections,
+        parameters=rooster_params,
     )
     print(f"ROOSTER 4D recon done ({time.monotonic()-t4:.0f}s)", flush=True)
 
@@ -263,6 +281,13 @@ def main(output_folder, n_projections, n_histories, air_histories,
         "motion_axis": motion_axis,
         "amplitude_position_correlation": corr,
         "recovered_motion_span_mm": span_mm,
+        "rooster_parameters": {
+            "n_phases": rooster_phases,
+            "n_iterations": rooster_iterations,
+            "n_data_subiterations": rooster_cg_iterations,
+            "reference_production": {"n_phases": 10, "n_iterations": 10,
+                                     "n_data_subiterations": 4},
+        },
         "correspondence_model": str(model_path),
         "reconstruction": str(recon_path),
     }
