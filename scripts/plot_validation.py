@@ -125,6 +125,52 @@ def plot_acceptance(path: Path, out: Path) -> bool:
     return True
 
 
+def plot_4d_motion(path: Path, out: Path) -> bool:
+    """Imposed vs recovered motion trajectory across the ROOSTER phase
+    bins (the 4D demo's deliverable, runs/4d_demo/4d_demo.json)."""
+    if not path.is_file():
+        return False
+    import numpy as np
+
+    plt = _style()
+    d = json.loads(path.read_text())
+    imposed = np.asarray(d.get("imposed_amplitude_per_bin", []), float)
+    coms = np.asarray(d.get("recovered_centroid_per_bin_vox", []), float)
+    axis = d.get("motion_axis")
+    if imposed.size == 0 or coms.size == 0 or axis is None:
+        return False
+    rec = coms[:, axis]
+    bins = np.arange(len(rec))
+    # normalise both to zero-mean/unit-span for overlay (the metric is the
+    # correlation + span, not absolute offsets)
+    def norm(v):
+        v = v - np.nanmean(v)
+        s = np.nanmax(v) - np.nanmin(v)
+        return v / s if s > 0 else v
+    fig, ax = plt.subplots(figsize=(5.0, 3.2))
+    ax.plot(bins, norm(imposed), "o-", label="imposed signal (bin mean)",
+            color="tab:gray")
+    ax.plot(bins, norm(rec), "s-", label="recovered insert centroid",
+            color="tab:blue")
+    corr = d.get("amplitude_position_correlation")
+    span = d.get("recovered_motion_span_mm")
+    title = "4D demo: motion recovery across ROOSTER bins"
+    sub = []
+    if corr is not None:
+        sub.append(f"corr {corr:.3f}")
+    if span is not None:
+        sub.append(f"span {span:.1f} mm (imposed {d.get('amplitude_mm')} mm)")
+    if sub:
+        title += "\n" + ", ".join(sub)
+    ax.set_title(title, fontsize=9)
+    ax.set_xlabel("phase bin")
+    ax.set_ylabel("normalised amplitude")
+    ax.legend(fontsize=7)
+    fig.savefig(out)
+    plt.close(fig)
+    return True
+
+
 def plot_speedup(path: Path, out: Path) -> bool:
     if not path.is_file():
         return False
@@ -170,6 +216,8 @@ def main(output_dir):
          "catphan_acceptance_r3.png"),
         (plot_speedup, REPO / "runs/speedup/speedup_eval.json",
          "speedup_holdout.png"),
+        (plot_4d_motion, REPO / "runs/4d_demo/4d_demo.json",
+         "4d_motion_recovery.png"),
     ]
     for fn, src, name in jobs:
         ok = fn(src, output_dir / name)
