@@ -60,6 +60,17 @@ def main():
             n_lanes=1 << 20, max_virtual_trips=4, event_fraction=0.35
         )
         chunk, n_chunks = 100_000_000, 3
+        # prefer the recorded sweep winner over the hardcoded default
+        # (scripts/sweep_engine_configs.py writes this after each sweep)
+        best_path = "/root/repo/runs/sweep/best_config.json"
+        try:
+            with open(best_path) as f:
+                best = json.load(f)
+            config = EngineConfig(**best["config"])
+            print(f"# using sweep winner {best['name']} from {best_path}",
+                  file=sys.stderr)
+        except (OSError, KeyError, TypeError, ValueError):
+            pass
 
     phantom = CatPhan604Geometry(shape=shape, image_spacing=(spacing_mm,) * 3)
     mats = np.ascontiguousarray(

@@ -154,6 +154,31 @@ def main(scene, config_names, chunk, reps, trace):
             best, best_tp = name, tp
 
     print(f"BEST: {best} {best_tp:.3e}", flush=True)
+    if scene != "smoke":
+        # record the winner so bench.py (and the driver's round-end bench)
+        # runs the measured-best config rather than a stale hardcoded one
+        import dataclasses
+        import json
+
+        out_dir = Path(__file__).parent.parent / "runs" / "sweep"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        cfg = all_configs[best]
+        with open(out_dir / "best_config.json", "w") as f:
+            json.dump(
+                {
+                    "name": best,
+                    "scene": scene,
+                    "throughput_hist_per_s": best_tp,
+                    "config": {
+                        "n_lanes": cfg.n_lanes,
+                        "max_virtual_trips": cfg.max_virtual_trips,
+                        "n_resolves": cfg.n_resolves,
+                        "event_fraction": cfg.event_fraction,
+                    },
+                },
+                f,
+                indent=2,
+            )
     if trace:
         run = make_run(all_configs[best])
         path = capture_trace(lambda: run(20_000_000, 11))
