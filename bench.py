@@ -92,7 +92,10 @@ def main():
     src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
     det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
 
-    from cbctmc_tpu.engine.simulate import _empty_carry
+    from cbctmc_tpu.engine.transport import LaneState
+
+    def _empty_carry(n):
+        return LaneState.empty(n, n_pix[0] * n_pix[1])
 
     def run(n, seed, carry, last):
         out = run_projection(

@@ -30,17 +30,11 @@ import numpy as np
 
 from cbctmc_tpu.engine.ct import DetectorGeom, ScanGeometry, build_scan, projection_angles_deg
 from cbctmc_tpu.engine.samplers import FanBeamSource
-from cbctmc_tpu.engine.tables import (
-    DeviceTables,
-    build_device_tables,
-    build_woodcock_table,
-)
+from cbctmc_tpu.engine.tables import DeviceTables, build_device_tables
 from cbctmc_tpu.engine.transport import (
     EngineConfig,
     LaneState,
-    VoxelVolume,
     make_scene,
-    make_voxel_volume,
     run_projection,
 )
 from cbctmc_tpu.physics.materials import MaterialTableSet, default_material_set
@@ -57,17 +51,6 @@ PILOT_CHUNK = 2_000_000
 TARGET_SECONDS_PER_CALL = 25.0
 
 
-def _empty_carry(n: int) -> LaneState:
-    """Fresh lane state matching the engine's cold init (all lanes dead)."""
-    z = jnp.zeros((n,), jnp.float32)
-    zi = jnp.zeros((n,), jnp.int32)
-    zb = jnp.zeros((n,), bool)
-    return LaneState(
-        px=z, py=z, pz=z, dx=z, dy=jnp.ones((n,), jnp.float32), dz=z,
-        energy=jnp.full((n,), 1.0e4, jnp.float32), ebin=zi, scatter=zi,
-        alive=zb, pending=zb, k_air=zi, k_soft=zi, vox=zi, mat_evt=zi,
-        xi=z, stash_idx=zi, stash_energy=z, stash_valid=zb,
-    )
 
 
 @dataclasses.dataclass
@@ -251,7 +234,7 @@ class MCScanner:
             # a zero carry (matching the engine's fresh-state init) keeps
             # the number of distinct traces at two (carry+return_carry for
             # intermediate chunks, carry+drain for the last one)
-            carry = _empty_carry(self.engine_config.n_lanes)
+            carry = LaneState.empty(self.engine_config.n_lanes, npx * npz)
             while done < n_histories:
                 chunk = min(chunk_size, MAX_CHUNK, n_histories - done)
                 last = done + chunk >= n_histories
@@ -330,7 +313,13 @@ def crop_half_fan(
 def bin_detector(images: np.ndarray, factor: int) -> np.ndarray:
     """Average-pool the last two (detector) axes by ``factor`` — the
     acceptance protocol's statistics/resolution trade, applied to the RAW
-    signal before log-normalisation (physically: larger pixels)."""
+    signal before log-normalisation (physically: larger pixels).
+
+    Trailing rows/columns beyond the largest multiple of ``factor`` are
+    CROPPED, which shifts the binned image's geometric center by up to
+    ``(factor-1)/2`` raw pixels — use factors that divide the detector
+    shape when downstream code assumes a centred detector (894/1848/768
+    are all divisible by the protocol factors 2/4/8)."""
     if factor <= 1:
         return images
     v = images.shape[-2] // factor * factor

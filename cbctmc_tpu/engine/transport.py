@@ -505,6 +505,27 @@ class LaneState(NamedTuple):
     after the history budget is spent) from every chunk but the last one
     of a projection."""
 
+    @classmethod
+    def empty(cls, n_lanes: int, n_pixels: int) -> "LaneState":
+        """Cold lane state (all lanes dead), bit-identical to the engine's
+        own init in run_projection — pass as ``carry_in`` for the first
+        chunk so intermediate and first chunks share one trace."""
+        z = jnp.zeros((n_lanes,), jnp.float32)
+        zi = jnp.zeros((n_lanes,), jnp.int32)
+        zb = jnp.zeros((n_lanes,), bool)
+        return cls(
+            px=z, py=z, pz=z,
+            dx=z, dy=jnp.ones((n_lanes,), jnp.float32), dz=z,
+            energy=jnp.full((n_lanes,), 1.0e4, jnp.float32),
+            ebin=zi, scatter=zi, alive=zb, pending=zb,
+            k_air=zi, k_soft=zi, vox=zi, mat_evt=zi, xi=z,
+            # parked-record sentinel: one past the 4-class image, so a
+            # masked scatter-add drops it (matches run_projection's init)
+            stash_idx=jnp.full((n_lanes,), 4 * n_pixels, jnp.int32),
+            stash_energy=z,
+            stash_valid=zb,
+        )
+
     px: jnp.ndarray
     py: jnp.ndarray
     pz: jnp.ndarray

@@ -182,10 +182,17 @@ def main(scene, config_names, chunk, reps, trace):
     if trace:
         run = make_run(all_configs[best])
         path = capture_trace(lambda: run(20_000_000, 11))
-        for r in kernel_census(path, top=30):
-            print(f"  {r['total_ms']:9.2f} ms  x{r['count']:<6} "
-                  f"{r['name'][:110]}", flush=True)
+        rows = [f"{r['total_ms']:9.2f} ms  x{r['count']:<6} {r['name'][:110]}"
+                for r in kernel_census(path, top=30)]
+        for row in rows:
+            print(f"  {row}", flush=True)
         print("trace at", path, flush=True)
+        if scene != "smoke":
+            out_dir = Path(__file__).parent.parent / "runs" / "sweep"
+            out_dir.mkdir(parents=True, exist_ok=True)
+            (out_dir / "census.txt").write_text(
+                f"winner: {best} @ {best_tp:.3e} hist/s (scene {scene}, "
+                f"20e6-history trace)\n" + "\n".join(rows) + "\n")
 
 
 if __name__ == "__main__":

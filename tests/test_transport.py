@@ -43,8 +43,10 @@ def _scene(table_set, with_water_slab: bool):
     return mats, dens
 
 
-def _simulate(table_set, spectrum, mats, dens, n_histories=300_000, theta=-1.0,
-              phi=(-1.0, -1.0), seed=0, config=CONFIG):
+def _make_run(table_set, spectrum, mats, dens, theta=-1.0, phi=(-1.0, -1.0),
+              config=CONFIG):
+    """Build the scene once and return a run(n, seed, ...) closure over
+    run_projection (kwargs pass through, e.g. carry_in/return_carry)."""
     tables = build_device_tables(table_set, spectrum)
     max_density = np.zeros(table_set.n_materials, np.float32)
     np.maximum.at(max_density, mats.astype(int).reshape(-1) - 1, dens.reshape(-1))
@@ -62,12 +64,21 @@ def _simulate(table_set, spectrum, mats, dens, n_histories=300_000, theta=-1.0,
     src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
     det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
 
-    img = run_projection(
-        tables, woodcock, volume, src, det,
-        jnp.int32(n_histories), jax.random.PRNGKey(seed),
-        n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=config,
-    )
-    return np.asarray(img, np.float64)
+    def run(n_histories, seed, **kwargs):
+        return run_projection(
+            tables, woodcock, volume, src, det,
+            jnp.int32(n_histories), jax.random.PRNGKey(seed),
+            n_pixels_x=N_PIX, n_pixels_z=N_PIX, config=config, **kwargs,
+        )
+
+    return run
+
+
+def _simulate(table_set, spectrum, mats, dens, n_histories=300_000, theta=-1.0,
+              phi=(-1.0, -1.0), seed=0, config=CONFIG):
+    run = _make_run(table_set, spectrum, mats, dens, theta=theta, phi=phi,
+                    config=config)
+    return np.asarray(run(n_histories, seed), np.float64)
 
 
 def test_beer_lambert_slab_transmission(table_set, mono60):
@@ -212,6 +223,17 @@ def test_majorant_poly_conservative(table_set):
     bins = np.minimum(((e_fine - e0) / de).astype(int), n_bins - 1)
     lo, hi = float(wt.log_e_lo), float(wt.log_e_hi)
     t = np.clip((np.log(e_fine) - lo) / (hi - lo), 0.0, 1.0)
+    def f32_horner(coeffs, t_arr):
+        """Emulate the engine's runtime evaluation exactly: f32 Horner on
+        f32 t followed by f32 exp (transport.majorants_of). The fixed
+        1e-4 log-margin in fit_log_mfp_poly must absorb THIS rounding,
+        not the f64 one."""
+        c = np.asarray(coeffs, np.float32)
+        acc = np.full_like(t_arr, c[0], dtype=np.float32)
+        for k in range(1, c.shape[0]):
+            acc = (acc * t_arr.astype(np.float32) + c[k]).astype(np.float32)
+        return np.exp(acc, dtype=np.float32)
+
     for pa, pb, poly in (
         (wt.a, wt.b, wt.wc_logpoly),
         (wt.soft_a, wt.soft_b, wt.soft_logpoly),
@@ -219,6 +241,8 @@ def test_majorant_poly_conservative(table_set):
         curve = np.asarray(pa)[bins] + e_fine * np.asarray(pb)[bins]
         fit = np.exp(np.polyval(np.asarray(poly, np.float64), t))
         assert (fit <= curve * (1.0 + 1e-6)).all()
+        # the guarantee must also hold in the engine's own precision
+        assert (f32_horner(poly, t).astype(np.float64) <= curve * (1.0 + 1e-6)).all()
         # and the fit is reasonably tight, so the extra virtual-flight
         # cost of the analytic tier stays small
         assert (fit / curve).min() > 0.85
@@ -239,6 +263,10 @@ def test_majorant_poly_conservative(table_set):
     true_mfp_air = 1.0 / np.maximum(inv_air, 1e-30)
     fit_air = np.exp(np.polyval(np.asarray(wt.air_logpoly, np.float64), t))
     assert (fit_air <= true_mfp_air * (1.0 + 1e-6)).all()
+    assert (
+        f32_horner(wt.air_logpoly, t).astype(np.float64)
+        <= true_mfp_air * (1.0 + 1e-6)
+    ).all()
     assert (fit_air / true_mfp_air).min() > 0.85
 
 
@@ -287,3 +315,41 @@ def test_tau_table_engine_ab(table_set, mono60):
     # analytic tau rejection; rayleigh/multi are small but nonzero
     for ch, rel in ((0, 0.03), (1, 0.08), (2, 0.15)):
         assert img_ana[ch].sum() == pytest.approx(img_tab[ch].sum(), rel=rel)
+
+
+def test_cross_chunk_survivor_carry(table_set, mono60):
+    """Production chunking (MCScanner.simulate / bench.py): two N/2 chunks
+    linked by ``return_carry``/``carry_in`` must tally the same expected
+    image as one N-history drained run. A carry that drops or resets the
+    in-flight photons loses up to n_lanes histories' remaining tally at
+    the chunk boundary (~10% of N here, far above the MC noise of this
+    comparison), and also under-counts sourced histories."""
+    from cbctmc_tpu.engine.transport import LaneState
+
+    mats, dens = _scene(table_set, with_water_slab=True)
+    run = _make_run(table_set, mono60, mats, dens)
+    n = 160_000
+
+    # single drained run, starting from the explicit cold carry so the
+    # LaneState.empty == engine-cold-init equivalence is exercised too
+    img_single = np.asarray(
+        run(n, 3, carry_in=LaneState.empty(CONFIG.n_lanes, N_PIX * N_PIX)),
+        np.float64,
+    )
+
+    # chunked: budget-exhausted first half hands survivors to the second
+    img1, extras = run(n // 2, 4, carry_in=LaneState.empty(
+        CONFIG.n_lanes, N_PIX * N_PIX), return_carry=True)
+    carry = extras["carry"]
+    # the boundary must actually be exercised: survivors in flight
+    n_in_flight = int(np.asarray(carry.alive).sum()
+                      + np.asarray(carry.pending).sum())
+    assert n_in_flight > 1000
+    img2 = run(n // 2, 5, carry_in=carry)
+    img_chunked = np.asarray(img1, np.float64) + np.asarray(img2, np.float64)
+
+    # expected tallied energy matches (different RNG streams -> MC noise;
+    # a dropped carry shifts this by ~n_in_flight/n ~ 10%)
+    assert img_chunked.sum() == pytest.approx(img_single.sum(), rel=0.02)
+    # and the primary channel (sharpest statistics) matches tightly
+    assert img_chunked[0].sum() == pytest.approx(img_single[0].sum(), rel=0.02)
