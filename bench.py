@@ -105,7 +105,11 @@ def main():
             carry_in=carry, return_carry=not last,
         )
         if last:
-            jax.block_until_ready(out)
+            # force a host readback: jax.block_until_ready does NOT
+            # synchronize on the axon tunnel platform (verified against
+            # device traces, runs/microbench.json) - a tiny-scalar
+            # np.asarray is the only reliable fence
+            np.asarray(jnp.sum(out))
             return out, None
         img, extras = out
         return img, extras["carry"]

@@ -196,19 +196,22 @@ def compton_scatter_rows_tab(
     )
 
 
-def sample_compton_cdt1_tab(
+def sample_icdf_rows_cdt1(
     u2: jnp.ndarray,
     energy: jnp.ndarray,
-    mat: jnp.ndarray,
+    row_in_table: jnp.ndarray,
+    icdf_table: jnp.ndarray,
     tables: DeviceTables,
 ) -> jnp.ndarray:
-    """Map two uniforms [2, n] to a Compton 1-cos(theta) sample via the
-    tabulated inverse CDF: stochastic interpolation between the two
-    bracketing log-energy rows (PENELOPE-style) + linear interpolation at
-    an equal-probability knot. Shared by the engine event stage
-    (transport._resolve) and the chi-square A/B test so both exercise the
-    SAME sampling path. Callers supply the uniforms so the engine's RNG
-    stream is unaffected by where this lives."""
+    """Map two uniforms [2, n] to a 1-cos(theta) sample via a tabulated
+    inverse CDF on the coarse log-energy grid: stochastic interpolation
+    between the two bracketing log-energy rows (PENELOPE-style) + linear
+    interpolation at an equal-probability knot.
+
+    ``row_in_table(j_e) -> row index`` lets callers address a concatenated
+    Compton|Rayleigh table with ONE gather (transport v4 fetches the angle
+    for both event kinds from a single fused table). Callers supply the
+    uniforms so the engine's RNG stream is unaffected by where this lives."""
     n_ie = tables.n_icdf_energies
     pos = jnp.clip(
         (jnp.log(energy) - tables.icdf_log_lo)
@@ -218,7 +221,7 @@ def sample_compton_cdt1_tab(
     )
     j_e = jnp.floor(pos).astype(jnp.int32)
     j_e = jnp.minimum(j_e + (u2[0] < pos - j_e).astype(jnp.int32), n_ie - 1)
-    rows = tables.compton_icdf[j_e * tables.n_mats + mat]  # [n, K]
+    rows = icdf_table[row_in_table(j_e)]  # [n, K]
     k_knots = rows.shape[1]
     sk = u2[1] * (k_knots - 1)
     jk = jnp.floor(sk).astype(jnp.int32)
@@ -233,6 +236,34 @@ def sample_compton_cdt1_tab(
         axis=1,
     )
     return v0 * (1.0 - fk) + v1 * fk
+
+
+def sample_compton_cdt1_tab(
+    u2: jnp.ndarray,
+    energy: jnp.ndarray,
+    mat: jnp.ndarray,
+    tables: DeviceTables,
+) -> jnp.ndarray:
+    """Compton 1-cos(theta) from the tabulated inverse CDF (engine v3.4b
+    path and the chi-square A/B tests)."""
+    return sample_icdf_rows_cdt1(
+        u2, energy, lambda j_e: j_e * tables.n_mats + mat,
+        tables.compton_icdf, tables,
+    )
+
+
+def sample_rayleigh_cdt1_tab(
+    u2: jnp.ndarray,
+    energy: jnp.ndarray,
+    mat: jnp.ndarray,
+    tables: DeviceTables,
+) -> jnp.ndarray:
+    """Rayleigh 1-cos(theta) from the tabulated inverse CDF (engine v4;
+    replaces the RITA + Thomson rejection on the hot path)."""
+    return sample_icdf_rows_cdt1(
+        u2, energy, lambda j_e: j_e * tables.n_mats + mat,
+        tables.rayleigh_icdf, tables,
+    )
 
 
 def _shell_doppler_and_energy(
@@ -562,4 +593,31 @@ def sample_spectrum_energy(
     use_alias = frac >= row[:, 0]
     e_lo_sel = jnp.where(use_alias, row[:, 3], row[:, 1])
     de_sel = jnp.where(use_alias, row[:, 4], row[:, 2])
+    return e_lo_sel + u2 * de_sel
+
+
+def sample_spectrum_energy_cdf(
+    key: jax.Array, tables: DeviceTables, n: int
+) -> jnp.ndarray:
+    """Gather-free spectrum sampling: bin by broadcast-compare against the
+    CDF, bin edges by one-hot reduction, uniform within the bin (the same
+    piecewise-uniform law as the Walker alias + intra-bin interpolation of
+    :func:`sample_spectrum_energy`, reference kernel :628-644).
+
+    On TPU a gather prices ~3-5 ns per lane-index while a ~120-wide
+    compare/select reduction is ~1 ns of VPU work (runs/microbench.json),
+    so the engine v4 source stage uses this form."""
+    u1, u2 = uniforms_open(key, 2, (n,))
+    nb = tables.n_spectrum_bins
+    # bin = #{k in 1..nb-1 : u1 >= cdf[k]}  in 0..nb-1
+    inner = tables.spectrum_cdf[1:nb]  # [nb-1]
+    b = jnp.sum(
+        (u1[:, None] >= inner[None, :]).astype(jnp.int32), axis=1
+    )
+    iota = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    oh = (b[:, None] == iota).astype(jnp.float32)
+    e_lo = tables.spectrum_energies[:-1]
+    de = tables.spectrum_energies[1:] - e_lo
+    e_lo_sel = jnp.sum(oh * e_lo[None, :], axis=1)
+    de_sel = jnp.sum(oh * de[None, :], axis=1)
     return e_lo_sel + u2 * de_sel

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,6 +83,36 @@ class DeviceTables(NamedTuple):
     spectrum_energies: jnp.ndarray  # [n_spec_bins + 1]
     spectrum_cutoff: jnp.ndarray  # [n_spec_bins]
     spectrum_alias: jnp.ndarray  # i32 [n_spec_bins]
+
+    # ---- engine v4: gather-free sigma + tabulated Rayleigh angle ---------
+    # Per-material Chebyshev fits (+ K-edge step) of the partial inverse
+    # MFPs per unit density (the linearize_inverse_mfp scaling):
+    # sigma_cheb [n_mats, 3, D] ascending Chebyshev coefficients over
+    # s = 2t - 1, t = (log E - sigma_log_lo)/(sigma_log_hi - sigma_log_lo),
+    # channels (Compton, Rayleigh, photoelectric);
+    # sigma_edge [n_mats, 3, 2] = (s_edge, step):
+    # log sigma = clenshaw(cheb, s) + step * 1[s >= s_edge] (Fe K-edge in
+    # blood/red marrow). inv_tot := exp(pC) + exp(pR) + exp(pP) keeps the
+    # flight's delta-tracking probability and the event stage's branch
+    # ratios exactly consistent. A tight (non-conservative) fit: max
+    # relative error <~3e-4 per channel (tests/test_tables_v4.py), far
+    # below the <=1% projection-RMSE parity bar; evaluation is free VPU
+    # work where the v3 fused-index table gathers priced ~2-3.5 ns/lane
+    # (runs/microbench.json).
+    sigma_cheb: jnp.ndarray
+    sigma_edge: jnp.ndarray
+    sigma_log_lo: jnp.ndarray  # f32 scalar log(e0)
+    sigma_log_hi: jnp.ndarray  # f32 scalar log(e_last)
+    # Rayleigh angular inverse CDF (same scheme/grid/knots as compton_icdf):
+    # cdt1 = 1 - cos(theta) = 2 x^2 / x2max(E) knots of the exact
+    # RITA-form-factor x Thomson accepted distribution,
+    # [n_icdf_energies * n_mats, K]. One row gather + lerp replaces the
+    # 12-trip RITA rejection (whose 128-wide compare-counts and one-hot
+    # selects dominate an uncompacted event stage).
+    rayleigh_icdf: jnp.ndarray
+    # spectrum CDF [n_spec_bins + 1] (normalised, f32) for gather-free
+    # broadcast-compare inverse-CDF sampling (engine v4 spectrum_mode="cdf")
+    spectrum_cdf: jnp.ndarray
 
     @property
     def n_mats(self) -> int:
@@ -196,6 +227,24 @@ def build_device_tables(
     compton_icdf = _tabulate_compton_tau_icdf(
         shell_f, shell_ui, shell_j0, table_set.e0, e_last
     )
+    rayleigh_icdf = _tabulate_rayleigh_icdf(table_set, table_set.e0, e_last)
+    sigma_cheb = np.zeros((n_mats, 3, SIGMA_CHEB_DEGREE + 1), np.float32)
+    sigma_edge = np.zeros((n_mats, 3, 2), np.float32)
+    for mi, m in enumerate(table_set.materials):
+        for ci, curve in enumerate(
+            (m.mfp_compton, m.mfp_rayleigh, m.mfp_photoelectric)
+        ):
+            coefs, s_edge, step = fit_log_sigma_cheb(
+                1.0 / (np.asarray(curve, np.float64) * float(m.density)),
+                table_set.e0,
+                table_set.de,
+            )
+            sigma_cheb[mi, ci] = coefs
+            sigma_edge[mi, ci] = (s_edge, step)
+
+    p64 = np.asarray(spectrum.probabilities, np.float64)
+    spectrum_cdf = np.concatenate([[0.0], np.cumsum(p64 / p64.sum())])
+    spectrum_cdf[-1] = 1.0
 
     return DeviceTables(
         e0=jnp.float32(table_set.e0),
@@ -219,6 +268,12 @@ def build_device_tables(
         spectrum_energies=jnp.asarray(spectrum.energies),
         spectrum_cutoff=jnp.asarray(spectrum.cutoff),
         spectrum_alias=jnp.asarray(spectrum.alias.astype(np.int32)),
+        sigma_cheb=jnp.asarray(sigma_cheb),
+        sigma_edge=jnp.asarray(sigma_edge),
+        sigma_log_lo=jnp.float32(np.log(table_set.e0)),
+        sigma_log_hi=jnp.float32(np.log(e_last)),
+        rayleigh_icdf=jnp.asarray(rayleigh_icdf),
+        spectrum_cdf=jnp.asarray(spectrum_cdf.astype(np.float32)),
     )
 
 
@@ -380,6 +435,198 @@ def _tabulate_compton_tau_icdf(
             # increasing, as np.interp requires
             out[ie, m] = np.interp(
                 u_knots, (1.0 - c)[::-1], cdt1[::-1]
+            ).astype(np.float32)
+    return out.reshape(n_energies * n_mats, n_knots)
+
+
+#: Chebyshev degree of the sigma fits. 23 puts every material/channel below
+#: ~3e-4 max relative error (the binding case is the bone materials'
+#: Rayleigh form-factor structure); evaluation cost is irrelevant (VPU).
+SIGMA_CHEB_DEGREE = 23
+
+
+def fit_log_sigma_cheb(
+    inv_curve: np.ndarray,
+    e0: float,
+    de: float,
+    degree: int = SIGMA_CHEB_DEGREE,
+) -> tuple[np.ndarray, float, float]:
+    """Tight fit of ``log(inv_curve(E))`` as Chebyshev series + absorption-
+    edge step over ``s = 2t - 1``, ``t = (log E - log E0)/(log E1 - log E0)``.
+
+    Unlike :func:`fit_log_mfp_poly` (majorants, which must bound the curve
+    one-sidedly), the sigma fits replace the cross-section values
+    themselves, so they are least-squares tight. Most 5-125 keV partial
+    inverse MFPs are smooth in log-log, but iron-bearing materials (blood,
+    red marrow) have the Fe K-edge at 7.11 keV inside the grid - a jump no
+    global polynomial can fit. The fit therefore models
+    ``log sigma = cheb(s) + step * 1[s >= s_edge]``: the largest
+    outlier jump in the 5 eV finite differences is detected, removed, and
+    re-applied at runtime with a single select.
+
+    Chebyshev coefficients (evaluated with the Clenshaw recurrence in the
+    engine) stay O(10), so float32 evaluation adds < 1e-5 relative error
+    where the equivalent power-basis Horner loses ~2e-4 to coefficient
+    cancellation (|c| ~ 2e3 at degree 23).
+
+    Returns ``(coeffs ascending [degree+1], s_edge, step)``; ``s_edge = 2.0``
+    (never reached) when no edge is detected.
+    """
+    n_bins = inv_curve.shape[0]
+    energies = e0 + de * np.arange(n_bins, dtype=np.float64)
+    lo, hi = np.log(energies[0]), np.log(energies[-1])
+    s = 2.0 * (np.log(energies) - lo) / (hi - lo) - 1.0
+    y = np.log(np.maximum(np.asarray(inv_curve, np.float64), 1e-300))
+
+    d = np.diff(y)
+    k = int(np.argmax(np.abs(d)))
+    med = float(np.median(np.abs(d)))
+    step, s_edge = 0.0, 2.0
+    if abs(d[k]) > 20.0 * max(med, 1e-12) and abs(d[k]) > 5e-3:
+        smooth = 0.5 * (d[max(k - 2, 0)] + d[min(k + 2, len(d) - 1)])
+        step = float(d[k] - smooth)
+        s_edge = float(s[k + 1])
+        y = y - step * (np.arange(n_bins) >= k + 1)
+
+    cheb = np.polynomial.chebyshev.Chebyshev.fit(s, y, degree, domain=[-1, 1])
+    return cheb.coef.astype(np.float32), s_edge, step
+
+
+def sigma_coeff_table(tables: DeviceTables) -> jnp.ndarray:
+    """Concatenated per-material sigma-fit rows for ONE one-hot MXU fetch:
+    [n_mats, 3*D + 6] = (cheb coefficients of the 3 channels | the 3
+    (s_edge, step) pairs)."""
+    n_mats = tables.n_mats
+    return jnp.concatenate(
+        [
+            tables.sigma_cheb.reshape(n_mats, -1),
+            tables.sigma_edge.reshape(n_mats, -1),
+        ],
+        axis=1,
+    )
+
+
+def eval_sigma_partials(
+    tables: DeviceTables,
+    energy: jnp.ndarray,
+    onehot_mat: jnp.ndarray,
+    coeff_table: jnp.ndarray | None = None,
+):
+    """Per-lane partial inverse MFPs per unit density, gather-free:
+    one one-hot MXU matmul fetches each lane's Chebyshev rows + edge pairs,
+    then a float32 Clenshaw recurrence per channel evaluates
+    ``exp(cheb(s) + step * 1[s >= s_edge])``.
+
+    Args:
+        energy: [n] photon energies [eV].
+        onehot_mat: [n, n_mats] float32 one-hot of the lane materials
+            (shared with the Compton shell fetch in the event stage).
+    Returns:
+        (inv_compton, inv_rayleigh, inv_photoelectric), each [n].
+    """
+    if coeff_table is None:
+        coeff_table = sigma_coeff_table(tables)
+    d = tables.sigma_cheb.shape[-1]
+    rows = jax.lax.dot_general(
+        onehot_mat, coeff_table,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [n, 3*D + 6]
+    s = jnp.clip(
+        2.0
+        * (jnp.log(energy) - tables.sigma_log_lo)
+        / (tables.sigma_log_hi - tables.sigma_log_lo)
+        - 1.0,
+        -1.0,
+        1.0,
+    )
+    two_s = 2.0 * s
+
+    def channel(ci):
+        c = rows[:, ci * d : (ci + 1) * d]
+        b1 = jnp.zeros_like(s)
+        b2 = jnp.zeros_like(s)
+        for k in range(d - 1, 0, -1):
+            b1, b2 = c[:, k] + two_s * b1 - b2, b1
+        val = c[:, 0] + s * b1 - b2
+        s_edge = rows[:, 3 * d + 2 * ci]
+        step = rows[:, 3 * d + 2 * ci + 1]
+        return jnp.exp(val + jnp.where(s >= s_edge, step, 0.0))
+
+    return channel(0), channel(1), channel(2)
+
+
+def _tabulate_rayleigh_icdf(
+    table_set: MaterialTableSet,
+    e_first: float,
+    e_last: float,
+    n_energies: int = 64,
+    n_knots: int = 64,
+    n_fine: int = 8192,
+) -> np.ndarray:
+    """Tabulate the inverse CDF of the Rayleigh scattering angle.
+
+    The reference samples x^2 from the RITA rational interpolation of the
+    squared-form-factor CDF truncated at x2max(E) and rejects with the
+    Thomson factor (1+cos^2)/2 (kernel GRAa :1181-1246). The accepted
+    density over p (the form-factor CDF coordinate) is therefore
+    ``th(x(p)) * 1[x(p) <= x2max]``: here it is integrated on a fine uniform
+    p grid (x(p) via the same rational map the sampler uses) and inverted at
+    ``n_knots`` equal-probability knots of cdt1 = 1 - cos(theta) =
+    2 x^2 / x2max. Layout matches ``compton_icdf``:
+    [n_energies * n_mats, n_knots] at idx = ie * n_mats + mat on the same
+    log-energy grid, so the transport engine fetches Compton OR Rayleigh
+    angles with ONE gather into the concatenated table.
+    """
+    from cbctmc_tpu.physics.constants import RAYLEIGH_X_FACTOR
+
+    n_mats = table_set.n_materials
+    energies = np.exp(np.linspace(np.log(e_first), np.log(e_last), n_energies))
+    out = np.empty((n_energies, n_mats, n_knots), np.float32)
+    u_knots = np.linspace(0.0, 1.0, n_knots)
+
+    for mi, m in enumerate(table_set.materials):
+        xr = np.asarray(m.rita_x, np.float64)
+        pr = np.asarray(m.rita_p, np.float64)
+        ar = np.asarray(m.rita_a, np.float64)
+        br = np.asarray(m.rita_b, np.float64)
+        pmax_curve = np.asarray(m.rayleigh_pmax, np.float64)
+        e_grid = m.e0 + m.de * np.arange(len(pmax_curve), dtype=np.float64)
+
+        for ie, e in enumerate(energies):
+            xmax = e * RAYLEIGH_X_FACTOR
+            x2max = min(xmax * xmax, float(xr[-1]))
+            # conservative CDF bound at this energy (the sampler's pmax at
+            # bin+1); fine-grid points mapping beyond x2max carry no weight
+            pmax = float(np.interp(e + m.de, e_grid, pmax_curve))
+            p_fine = np.linspace(0.0, min(pmax, float(pr[-1])), n_fine)
+            idx = np.clip(np.searchsorted(pr, p_fine, side="right") - 1,
+                          0, len(pr) - 2)
+            rr = p_fine - pr[idx]
+            d = pr[idx + 1] - pr[idx]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xx = xr[idx] + np.where(
+                    rr > 1e-16,
+                    (ar[idx] + 1.0 + br[idx]) * d * rr
+                    / (d * d + (ar[idx] * d + br[idx] * rr) * rr)
+                    * (xr[idx + 1] - xr[idx]),
+                    0.0,
+                )
+            # truncate to the accepted region (xx <= x2max): beyond it the
+            # Thomson weight is zero and the flat tail would corrupt the
+            # inversion at u -> 1
+            inside = np.flatnonzero(xx <= x2max)
+            hi_i = int(inside[-1]) if inside.size else 1
+            xx_in = xx[: hi_i + 1]
+            mu = 1.0 - 2.0 * xx_in / max(x2max, 1e-300)
+            w = 0.5 * (1.0 + mu * mu)
+            cdf = np.concatenate([[0.0], np.cumsum(0.5 * (w[1:] + w[:-1]))])
+            total = max(cdf[-1], 1e-300)
+            cdt1_grid = 2.0 * xx_in / max(x2max, 1e-300)
+            # cdf and cdt1_grid both increase with p -> direct inversion
+            out[ie, mi] = np.interp(
+                u_knots, cdf / total, cdt1_grid
             ).astype(np.float32)
     return out.reshape(n_energies * n_mats, n_knots)
 

@@ -238,8 +238,13 @@ def make_voxel_volume(
         | (k_soft_field.astype(np.uint32) << _SOFT_SHIFT)
         | q
     )
-    # flatten with x fastest: flat = x + y*nx + z*nx*ny
+    # flatten with x fastest: flat = x + y*nx + z*nx*ny; pad to an even
+    # length so the paired-row gather layout (engine v4) can view the
+    # buffer as [n_vox/2, 2] (the pad word is never addressed: indices are
+    # clipped to nx*ny*nz - 1)
     flat = np.transpose(packed, (2, 1, 0)).reshape(-1)
+    if flat.shape[0] % 2:
+        flat = np.concatenate([flat, flat[-1:]])
     return VoxelVolume(
         packed=jnp.asarray(flat),
         shape=(nx, ny, nz),
@@ -418,6 +423,34 @@ class EngineConfig:
     # tau rejection. False restores the analytic rejection path (used for
     # the chi-square A/B validation in tests/test_sampler_statistics.py)
     tau_table: bool = True
+
+    # ---- engine v4: resolve-in-place (see run_projection docstring) ------
+    # Resolve real events masked over ALL lanes instead of on a stream-
+    # compacted batch, and tally ONCE per outer iteration. The v3.4
+    # compaction existed because per-lane event-table gathers price per
+    # index; with gather-free sigma (sigma_mode="cheb"), the fused
+    # Compton|Rayleigh angle ICDF and MXU shell fetches, a full-width
+    # masked resolve is cheaper than the compaction scatters it replaces
+    # (the [n, 2] event scatter-back alone priced ~46 ns/row,
+    # runs/microbench.json). False restores the engine v3.4 body exactly
+    # (A/B validation; also required when tau_table=False).
+    resolve_inplace: bool = True
+    # "cheb": per-material Chebyshev+K-edge fits of the partial inverse
+    # MFPs, evaluated with Clenshaw + one one-hot MXU coefficient fetch
+    # (max rel. error <~3e-4, tests/test_tables_v4.py). "table": the v3
+    # fused-index (a, b) row gathers. v4 only.
+    sigma_mode: str = "cheb"
+    # "cdf": broadcast-compare inverse-CDF spectrum sampling (gather-free);
+    # "alias": the v3 Walker-alias row gather. v4 only.
+    spectrum_mode: str = "cdf"
+    # "icdf": Rayleigh angle from the tabulated inverse CDF (one fused
+    # gather shared with Compton); "rita": full-width masked RITA rejection
+    # (A/B validation path). v4 only.
+    rayleigh_mode: str = "icdf"
+    # gather the packed voxel words from a [n_vox/2, 2] paired layout
+    # (row gathers price ~8.6 ns/idx where the flat u32 gather prices
+    # ~12-15 ns at 500 MB; the column select is a free where). v4 only.
+    paired_voxel_gather: bool = True
 
     @property
     def event_lanes(self) -> int:
@@ -609,6 +642,29 @@ def run_projection(
     n_bins = woodcock.a.shape[0]
     mat_iota = jnp.arange(n_mats, dtype=jnp.int32)[None, :]
 
+    use_v4 = config.resolve_inplace
+    if use_v4 and not config.tau_table:
+        raise ValueError(
+            "resolve_inplace requires tau_table=True; set "
+            "resolve_inplace=False for the analytic-tau A/B path"
+        )
+    if use_v4:
+        from cbctmc_tpu.engine.tables import eval_sigma_partials, sigma_coeff_table
+
+        sigma_coeffs = sigma_coeff_table(tables)
+        # fused Compton|Rayleigh angular inverse CDF: one gather serves both
+        icdf_cat = jnp.concatenate(
+            [tables.compton_icdf, tables.rayleigh_icdf], axis=0
+        )
+        n_icdf_rows = tables.compton_icdf.shape[0]
+        if config.paired_voxel_gather:
+            if volume.packed.shape[0] % 2:
+                raise ValueError(
+                    "paired_voxel_gather needs an even packed length "
+                    "(make_voxel_volume pads it)"
+                )
+            packed_pairs = volume.packed.reshape(-1, 2)
+
     if config.rng_impl is not None:
         # derive a fast counter-based key for the bulk uniforms from the
         # caller's key (sequence splitting as in the reference's RANECU
@@ -729,7 +785,10 @@ def run_projection(
         )
 
         def sample_photons(ke, kd):
-            e = samplers.sample_spectrum_energy(ke, tables, n)
+            if use_v4 and config.spectrum_mode == "cdf":
+                e = samplers.sample_spectrum_energy_cdf(ke, tables, n)
+            else:
+                e = samplers.sample_spectrum_energy(ke, tables, n)
             sdx, sdy, sdz, ok = samplers.sample_source_direction(kd, source, n)
             sx, sy, sz, _ = _move_to_bbox(
                 source.position[0] * jnp.ones((n,), jnp.float32),
@@ -879,12 +938,31 @@ def run_projection(
             pz = jnp.where(active, pz + step * dz, pz)
             nvox, in_bbox = _locate_voxel(px, py, pz, volume)
 
-            word = volume.packed[jnp.clip(nvox, 0, n_voxels - 1)]  # THE gather
+            cvox = jnp.clip(nvox, 0, n_voxels - 1)
+            if use_v4 and config.paired_voxel_gather:
+                # THE gather, paired-row form: [n_vox/2, 2] row gathers
+                # price ~8.6 ns/idx vs ~12-15 ns for the flat u32 gather at
+                # 500 MB (runs/microbench.json); the column select is a
+                # free where (take_along_axis would be a second gather)
+                vrows = packed_pairs[cvox >> 1]
+                word = jnp.where((cvox & 1) == 1, vrows[:, 1], vrows[:, 0])
+            else:
+                word = volume.packed[cvox]  # THE gather
             mat, k_new, ks_new, den = _unpack(word, volume.den_scale)
-            # total inverse MFP at (energy-bin, material): one 2-wide gather
-            # against the ~4 MB fused-index table per trip
-            pair = sig_pair[jnp.clip(ebin, 0, n_bins - 1) * n_mats + mat]
-            inv_tot = pair[:, 0] + energy * pair[:, 1]
+            if use_v4 and config.sigma_mode == "cheb":
+                # gather-free total inverse MFP: per-material Chebyshev
+                # fits summed over the three channels (identical partials
+                # feed the event branch, keeping delta tracking and branch
+                # ratios exactly consistent)
+                onehot_m = (mat[:, None] == mat_iota).astype(jnp.float32)
+                s_c, s_r, s_p = eval_sigma_partials(
+                    tables, energy, onehot_m, sigma_coeffs
+                )
+                inv_tot = s_c + s_r + s_p
+            else:
+                # one 2-wide gather against the ~4 MB fused-index table
+                pair = sig_pair[jnp.clip(ebin, 0, n_bins - 1) * n_mats + mat]
+                inv_tot = pair[:, 0] + energy * pair[:, 1]
             mfp_den = mfp_samp * den
             p_delta = 1.0 - mfp_den * inv_tot
 
@@ -955,7 +1033,64 @@ def run_projection(
             if config.tally_dose else None
         )
 
-        for r in range(R):
+        if use_v4:
+            # ---- engine v4: resolve-in-place, tally once per iteration ----
+            for r in range(R):
+                for i in range(r * t_sub, (r + 1) * t_sub):
+                    fs = flight(fs, u_flights[2 * i], u_flights[2 * i + 1])
+                (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
+                 pending, escaped, k_air, k_soft, vox, mat_evt, xi,
+                 stash_idx, stash_energy, stash_valid, cand_free,
+                 remaining) = fs
+                k_ang, k_shl, k_phi = (
+                    res_keys[3 * r], res_keys[3 * r + 1], res_keys[3 * r + 2]
+                )
+                (dx, dy, dz, energy, ebin, scatter, alive, pending,
+                 dose_state, res_counts) = _resolve_inplace(
+                    dx, dy, dz, energy, ebin, scatter, alive, pending,
+                    vox, mat_evt, xi, k_ang, k_shl, k_phi, dose_state,
+                )
+                if return_stats:
+                    counts_acc = counts_acc + res_counts
+                fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
+                      pending, escaped, k_air, k_soft, vox, mat_evt, xi,
+                      stash_idx, stash_energy, stash_valid, cand_free,
+                      remaining)
+
+            # one full-lane tally per iteration: each lane contributes its
+            # stash OR its parked record; the rare lanes holding BOTH carry
+            # the parked record as the next iteration's stash (records are
+            # never dropped; the v3.4 compacted doubles pass and its budget
+            # disappear). Parked positions are frozen (alive=False lanes
+            # do not move), so tallying at iteration end is exact.
+            pix, hit = _tally_pixel(
+                px, py, pz, dx, dy, dz, detector, n_pixels_x, n_pixels_z
+            )
+            tally_mask = escaped & hit
+            tally_idx = jnp.where(tally_mask, scatter * npix + pix, 4 * npix)
+            has_stash_rec = stash_valid & (stash_idx < 4 * npix)
+            primary_idx = jnp.where(has_stash_rec, stash_idx, tally_idx)
+            primary_val = jnp.where(
+                has_stash_rec, stash_energy,
+                jnp.where(tally_mask, energy, 0.0),
+            )
+            image = image.at[primary_idx].add(primary_val, mode="drop")
+            doubles = has_stash_rec & tally_mask
+            stash_idx = jnp.where(doubles, tally_idx, stash_idx)
+            stash_energy = jnp.where(doubles, energy, stash_energy)
+            stash_valid = doubles
+            if return_stats:
+                counts_acc = counts_acc + jnp.array([
+                    jnp.sum(primary_idx < 4 * npix),
+                    0, 0, 0, 0, 0, 0, 0,
+                    jnp.sum(
+                        jnp.where(primary_idx < 4 * npix, primary_val, 0.0)
+                    ),
+                    0.0,
+                ], dtype=jnp.float32)
+
+        if not use_v4:
+          for r in range(R):
             for i in range(r * t_sub, (r + 1) * t_sub):
                 fs = flight(fs, u_flights[2 * i], u_flights[2 * i + 1])
             (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
@@ -1242,6 +1377,131 @@ def run_projection(
             res_counts = jnp.array([
                 0, 0,
                 jnp.sum(took_compton), jnp.sum(took_rayleigh),
+                jnp.sum(took_photo), 0, 0, 0, 0, 0,
+            ], dtype=jnp.float32)
+
+        return (dx, dy, dz, energy, ebin, scatter, alive, pending,
+                dose_state, res_counts)
+
+    def _resolve_inplace(dx, dy, dz, energy, ebin, scatter, alive, pending,
+                         vox, mat_evt, xi, k_ang, k_shl, k_phi, dose_state):
+        """Engine v4 event resolution: masked over ALL lanes, no stream
+        compaction and no scatter-back. Feasible because every per-event
+        table access is gather-free or a single fused row gather:
+
+        - branch partials from the per-material Chebyshev sigma fits (the
+          same fits the flight used for inv_tot - exactly consistent),
+        - ONE row gather into the concatenated Compton|Rayleigh angle
+          inverse-CDF table serves both scatter kinds,
+        - Compton shell rows via the one-hot MXU matmul,
+        - Rayleigh needs nothing further: the tabulated row IS the angle.
+
+        Replaces (per resolve) the compaction scatter, the packed lane-state
+        gather, the 6-wide event-table gather and the [n, 2] scatter-back -
+        the scatter-back alone priced ~16 ms per resolve at 1M lanes
+        (runs/profile_r4)."""
+        pending = pending & alive
+        onehot_e = (mat_evt[:, None] == mat_iota).astype(jnp.float32)
+        inv_com, inv_ray, _ = eval_sigma_partials(
+            tables, energy, onehot_e, sigma_coeffs
+        )
+        want_c = pending & (xi < inv_com)
+        want_r = pending & ~want_c & (xi < inv_com + inv_ray)
+        took_photo = pending & ~want_c & ~want_r
+
+        if config.rayleigh_mode == "icdf":
+            u2 = uniform_open(k_ang, (2, n))
+            cdt1 = samplers.sample_icdf_rows_cdt1(
+                u2, energy,
+                lambda j_e: (
+                    jnp.where(want_r, n_icdf_rows, 0)
+                    + j_e * n_mats + mat_evt
+                ),
+                icdf_cat, tables,
+            )
+            costh_ray = 1.0 - cdt1
+        else:
+            k_tau, k_ray = jax.random.split(k_ang)
+            u2 = uniform_open(k_tau, (2, n))
+            cdt1 = samplers.sample_icdf_rows_cdt1(
+                u2, energy, lambda j_e: j_e * n_mats + mat_evt,
+                tables.compton_icdf, tables,
+            )
+            pmax = tables.rayleigh_pmax[
+                jnp.clip(ebin + 1, 0, n_bins - 1) * n_mats + mat_evt
+            ]
+            costh_ray = samplers.rayleigh_scatter_rows(
+                k_ray, energy, mat_evt, pmax, tables, want_r
+            )
+
+        shell_rows = jax.lax.dot_general(
+            shell_cat, onehot_e,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [3*s_max, n] shell-major
+        new_e_c, costh_c = samplers.compton_scatter_rows_tab(
+            k_shl, energy, cdt1,
+            shell_rows[:s_max],
+            shell_rows[s_max : 2 * s_max],
+            shell_rows[2 * s_max :],
+            want_c,
+        )
+
+        energy_before = energy
+        energy = jnp.where(want_c, new_e_c, energy)
+        costh = jnp.where(
+            want_c, costh_c, jnp.where(want_r, costh_ray, 1.0)
+        )
+        phi = uniform_open(k_phi, (n,)) * TWO_PI
+        rdx, rdy, rdz = samplers.rotate_direction(dx, dy, dz, costh, phi)
+        rotate = want_c | want_r
+        dx = jnp.where(rotate, rdx, dx)
+        dy = jnp.where(rotate, rdy, dy)
+        dz = jnp.where(rotate, rdz, dz)
+
+        new_ebin = ebin_of(energy)
+        absorbed = took_photo | (want_c & (new_ebin < 0))
+        alive = alive & ~absorbed
+
+        if config.tally_dose:
+            edep = jnp.where(
+                took_photo, energy,
+                jnp.where(want_c, energy_before - energy, 0.0),
+            )
+            deposit = took_photo | want_c
+            dose_idx = jnp.where(deposit, vox, n_voxels)
+            voxel_dose = dose_state["voxel_dose"].at[dose_idx].add(
+                jnp.where(deposit, edep, 0.0), mode="drop"
+            )
+            mat_idx = jnp.where(deposit, mat_evt, n_mats)
+            material_dose = dose_state["material_dose"].at[mat_idx, 0].add(
+                jnp.where(deposit, edep, 0.0), mode="drop"
+            )
+            material_dose = material_dose.at[mat_idx, 1].add(
+                jnp.where(deposit, edep * edep, 0.0), mode="drop"
+            )
+            dose_state = {
+                "voxel_dose": voxel_dose, "material_dose": material_dose
+            }
+
+        ebin = jnp.where(want_c, new_ebin, ebin)
+        scatter = jnp.where(
+            want_c,
+            jnp.where(scatter == 0, COMPTON, MULTI),
+            jnp.where(
+                want_r,
+                jnp.where(scatter == 0, RAYLEIGH, MULTI),
+                scatter,
+            ),
+        )
+        pending = jnp.zeros((n,), bool)
+
+        res_counts = None
+        if return_stats:
+            res_counts = jnp.array([
+                0, 0,
+                jnp.sum(want_c), jnp.sum(want_r),
                 jnp.sum(took_photo), 0, 0, 0, 0, 0,
             ], dtype=jnp.float32)
 

@@ -153,17 +153,24 @@ def main(scene, lanes, trips, event_fraction, n_histories, output, top):
     src = jax.tree.map(lambda x: jnp.asarray(x[0]), source)
     det = jax.tree.map(lambda x: jnp.asarray(x[0]), detector)
 
-    jitted = jax.jit(
-        lambda nh, k: run_projection(
+    # NB: run_projection is already jitted; wrap only the call, passing the
+    # tables/volume as ARGUMENTS. A closure would bake the 500 MB packed
+    # volume into the HLO as a literal, which overflows the remote-compile
+    # tunnel's request limit (HTTP 413).
+    def jitted(nh, k):
+        return run_projection(
             tables, woodcock, volume, src, det, nh, k,
             n_pixels_x=n_pix[0], n_pixels_z=n_pix[1], config=config,
         )
-    )
+
     nh = jnp.int32(int(n_histories))
 
     print("compiling...", flush=True)
     t0 = time.monotonic()
-    lowered = jitted.lower(nh, jax.random.PRNGKey(0))
+    lowered = run_projection.lower(
+        tables, woodcock, volume, src, det, nh, jax.random.PRNGKey(0),
+        n_pixels_x=n_pix[0], n_pixels_z=n_pix[1], config=config,
+    )
     compiled = lowered.compile()
     hlo = compiled.as_text()
     (output / "hlo.txt").write_text(hlo)

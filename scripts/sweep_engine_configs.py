@@ -25,26 +25,43 @@ import click
 def build_configs():
     from cbctmc_tpu.engine.transport import EngineConfig
 
+    L = 1 << 20
     return {
-        # 1M-lane family (v3.2 sweep winner was T4 at 1M lanes)
-        "T4": EngineConfig(n_lanes=1 << 20, max_virtual_trips=4,
-                           event_fraction=0.35),
-        "T6_R3": EngineConfig(n_lanes=1 << 20, max_virtual_trips=6,
-                              event_fraction=0.35, n_resolves=3),
-        "T6_R2": EngineConfig(n_lanes=1 << 20, max_virtual_trips=6,
-                              event_fraction=0.35),
-        "T8": EngineConfig(n_lanes=1 << 20, max_virtual_trips=8,
-                           event_fraction=0.35),
-        # event-budget sensitivity at the production point
-        "T4_EF50": EngineConfig(n_lanes=1 << 20, max_virtual_trips=4,
-                                event_fraction=0.5),
-        # 2M/4M-lane families: amortise the ~0.65 ms/op dispatch floor
+        # ---- engine v4 (resolve-in-place) family ----
+        # flights x resolves: R=T resolves after every flight (no pending
+        # idle), R<T amortises the resolve's angle-ICDF gather
+        "V4_T4_R2": EngineConfig(n_lanes=L, max_virtual_trips=4),
+        "V4_T4_R4": EngineConfig(n_lanes=L, max_virtual_trips=4,
+                                 n_resolves=4),
+        "V4_T4_R1": EngineConfig(n_lanes=L, max_virtual_trips=4,
+                                 n_resolves=1),
+        "V4_T2_R2": EngineConfig(n_lanes=L, max_virtual_trips=2,
+                                 n_resolves=2),
+        "V4_T6_R3": EngineConfig(n_lanes=L, max_virtual_trips=6,
+                                 n_resolves=3),
+        "V4_T8_R4": EngineConfig(n_lanes=L, max_virtual_trips=8,
+                                 n_resolves=4),
+        "V4_T8_R2": EngineConfig(n_lanes=L, max_virtual_trips=8),
+        # lane count
+        "V4_T4_R2_L21": EngineConfig(n_lanes=1 << 21, max_virtual_trips=4),
+        "V4_T4_R2_L19": EngineConfig(n_lanes=1 << 19, max_virtual_trips=4),
+        # component A/Bs at the production point
+        "V4_T4_R2_FLATVOX": EngineConfig(n_lanes=L, max_virtual_trips=4,
+                                         paired_voxel_gather=False),
+        "V4_T4_R2_SIGTAB": EngineConfig(n_lanes=L, max_virtual_trips=4,
+                                        sigma_mode="table"),
+        "V4_T4_R2_ALIAS": EngineConfig(n_lanes=L, max_virtual_trips=4,
+                                       spectrum_mode="alias"),
+        # ---- engine v3.4 reference points (resolve_inplace=False) ----
+        "T4": EngineConfig(n_lanes=L, max_virtual_trips=4,
+                           event_fraction=0.35, resolve_inplace=False),
+        "T6_R3": EngineConfig(n_lanes=L, max_virtual_trips=6,
+                              event_fraction=0.35, n_resolves=3,
+                              resolve_inplace=False),
+        "T8": EngineConfig(n_lanes=L, max_virtual_trips=8,
+                           event_fraction=0.35, resolve_inplace=False),
         "T4_L21": EngineConfig(n_lanes=1 << 21, max_virtual_trips=4,
-                               event_fraction=0.35),
-        "T6_L21_R3": EngineConfig(n_lanes=1 << 21, max_virtual_trips=6,
-                                  event_fraction=0.35, n_resolves=3),
-        "T4_L22": EngineConfig(n_lanes=1 << 22, max_virtual_trips=4,
-                               event_fraction=0.35),
+                               event_fraction=0.35, resolve_inplace=False),
     }
 
 
@@ -111,7 +128,11 @@ def main(scene, config_names, chunk, reps, trace):
                 n_pixels_x=n_pix[0], n_pixels_z=n_pix[1], config=config,
                 return_stats=stats,
             )
-            jax.block_until_ready(out)
+            # jax.block_until_ready does NOT synchronize on the axon tunnel
+            # platform; a tiny-scalar host readback is the reliable fence
+            # (the pre-r4 sweeps used block_until_ready and over-reported)
+            img = out[0] if stats else out
+            np.asarray(jnp.sum(img))
             return out
         return run
 
@@ -169,16 +190,27 @@ def main(scene, config_names, chunk, reps, trace):
                     "name": best,
                     "scene": scene,
                     "throughput_hist_per_s": best_tp,
+                    # record WHAT was measured so a partial sweep cannot
+                    # silently read as a global best (ADVICE round 3)
+                    "swept_configs": sorted(all_configs),
+                    "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                               time.gmtime()),
                     "config": {
                         "n_lanes": cfg.n_lanes,
                         "max_virtual_trips": cfg.max_virtual_trips,
                         "n_resolves": cfg.n_resolves,
                         "event_fraction": cfg.event_fraction,
+                        "resolve_inplace": cfg.resolve_inplace,
+                        "sigma_mode": cfg.sigma_mode,
+                        "spectrum_mode": cfg.spectrum_mode,
+                        "rayleigh_mode": cfg.rayleigh_mode,
+                        "paired_voxel_gather": cfg.paired_voxel_gather,
                     },
                 },
                 f,
                 indent=2,
             )
+            f.write("\n")
     if trace:
         run = make_run(all_configs[best])
         path = capture_trace(lambda: run(20_000_000, 11))

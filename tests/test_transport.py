@@ -276,12 +276,20 @@ def test_tally_doubles_overflow_carry(table_set, mono60):
     runs consume different RNG sub-streams once a carry blocks a stash, so
     the comparison is statistical."""
     mats, dens = _scene(table_set, with_water_slab=True)
+    # the compacted doubles budget is a v3.4 mechanism (v4 always carries
+    # doubles in the stash), so both runs pin resolve_inplace=False
     img_default = _simulate(
-        table_set, mono60, mats, dens, n_histories=150_000, seed=11
+        table_set, mono60, mats, dens, n_histories=150_000, seed=11,
+        config=EngineConfig(
+            n_lanes=CONFIG.n_lanes,
+            max_virtual_trips=CONFIG.max_virtual_trips,
+            resolve_inplace=False,
+        ),
     )
     starved = EngineConfig(
         n_lanes=CONFIG.n_lanes,
         max_virtual_trips=CONFIG.max_virtual_trips,
+        resolve_inplace=False,
         doubles_fraction=1e-9,  # floor of 32 lanes
     )
     img_starved = _simulate(
@@ -297,24 +305,32 @@ def test_tally_doubles_overflow_carry(table_set, mono60):
 
 
 def test_tau_table_engine_ab(table_set, mono60):
-    """The in-engine analytic Compton fallback (EngineConfig.tau_table=False,
-    transport._resolve) must agree channel-by-channel with the default
-    tabulated-ICDF path within statistics. The sampler-level chi-square A/B
-    lives in test_sampler_statistics.py; this covers the engine branch and
-    its s0 plumbing end-to-end."""
+    """Engine A/B across three stacked fallbacks: the default v4
+    resolve-in-place path vs the v3.4 compacted path (resolve_inplace=False)
+    vs the fully-analytic v3.4 path (tau_table=False, the GCOa tau
+    rejection). All three must agree channel-by-channel within statistics -
+    this pins the v4 redesign (gather-free sigma, fused angle ICDF, masked
+    resolve, single-tally) to the extensively validated v3 physics. The
+    sampler-level chi-square A/B lives in test_sampler_statistics.py."""
     mats, dens = _scene(table_set, with_water_slab=True)
-    img_tab = _simulate(table_set, mono60, mats, dens, n_histories=400_000,
-                        seed=7, config=CONFIG)
+    img_v4 = _simulate(table_set, mono60, mats, dens, n_histories=400_000,
+                       seed=7, config=CONFIG)
+    img_v3 = _simulate(
+        table_set, mono60, mats, dens, n_histories=400_000, seed=9,
+        config=EngineConfig(n_lanes=1 << 14, max_virtual_trips=8,
+                            resolve_inplace=False),
+    )
     img_ana = _simulate(
         table_set, mono60, mats, dens, n_histories=400_000, seed=8,
         config=EngineConfig(n_lanes=1 << 14, max_virtual_trips=8,
-                            tau_table=False),
+                            resolve_inplace=False, tau_table=False),
     )
-    assert img_ana.sum() == pytest.approx(img_tab.sum(), rel=0.03)
-    # per-channel: primary identical physics; compton channel exercises the
-    # analytic tau rejection; rayleigh/multi are small but nonzero
-    for ch, rel in ((0, 0.03), (1, 0.08), (2, 0.15)):
-        assert img_ana[ch].sum() == pytest.approx(img_tab[ch].sum(), rel=rel)
+    for img_b in (img_v3, img_ana):
+        assert img_b.sum() == pytest.approx(img_v4.sum(), rel=0.03)
+        # per-channel: primary identical physics; compton exercises the
+        # sampling paths; rayleigh/multi are small but nonzero
+        for ch, rel in ((0, 0.03), (1, 0.08), (2, 0.15)):
+            assert img_b[ch].sum() == pytest.approx(img_v4[ch].sum(), rel=rel)
 
 
 def test_cross_chunk_survivor_carry(table_set, mono60):
