@@ -176,6 +176,70 @@ def default_spectrum(name: str = "125kVp_0.89mmTi_varian_norm") -> Spectrum:
     return _spectrum_cache[name]
 
 
+_bowtie_cache: dict = {}
+
+
+def load_bowtie_data() -> dict:
+    """Bundled bowtie-filter physical data (extracted from the reference's
+    inline tables, cbctmc/mc/spectrum.py:9-1339 via scripts/build_assets.py):
+
+    - ``bowtie_<name>_mm``: per-fan-position aluminium thickness profile
+      of the Varian bowtie filter [mm] (``half`` = half-fan bowtie,
+      900 positions across the fan),
+    - ``mu_titanium_per_mm`` / ``mu_aluminium_per_mm``: linear attenuation
+      [1/mm] on a 1 keV grid starting at 1 keV,
+    - ``varian_norm_<kvp>kvp``: the unfiltered Varian-normalised tube
+      spectrum (flux per 1 keV bin starting at 1 keV).
+    """
+    if not _bowtie_cache:
+        with np.load(_ASSETS / "bowtie_filters.npz") as data:
+            _bowtie_cache.update({k: data[k] for k in data.files})
+    return dict(_bowtie_cache)
+
+
+def bowtie_thickness_profile(name: str = "half") -> np.ndarray:
+    """Aluminium thickness [mm] of the named bowtie filter per fan
+    position (reference BOWTIE_FILTERS, cbctmc/mc/spectrum.py:9)."""
+    return load_bowtie_data()[f"bowtie_{name}_mm"].copy()
+
+
+def derive_filtered_spectrum(
+    kvp: int = 125,
+    titanium_mm: float = 0.89,
+    bowtie: str | None = "half",
+    name: str | None = None,
+) -> Spectrum:
+    """Construct the tube spectrum from first principles: the
+    Varian-normalised raw spectrum, Beer-Lambert filtered by the titanium
+    window and (optionally) by the MEAN aluminium thickness of the named
+    bowtie profile - the reference's pseudo-bowtie model, which its
+    pre-filtered ``125kVp_0.89mmTi_half_bowtie_varian_norm.spc`` asset was
+    generated with (cbctmc/mc/spectrum.py:1366-1419; the derivation is the
+    module's __main__ block :1399-1414).
+
+    The construction is validated against the shipped asset in
+    tests/test_spectrum.py (agreement within 1%)."""
+    data = load_bowtie_data()
+    flux = data[f"varian_norm_{kvp}kvp"].astype(np.float64)
+    n = len(flux)
+    mu_ti = data["mu_titanium_per_mm"][:n]
+    filtered = flux * np.exp(-mu_ti * titanium_mm)
+    label = f"{kvp}kVp_{titanium_mm}mmTi"
+    if bowtie is not None:
+        thickness = float(data[f"bowtie_{bowtie}_mm"].mean())
+        mu_al = data["mu_aluminium_per_mm"][:n]
+        filtered = filtered * np.exp(-mu_al * thickness)
+        label += f"_{bowtie}_bowtie"
+    # flux value i is the emission of the 1 keV bin at (i+1) keV, matching
+    # the reference's printed .spc rows ("{i+1}e3 {flux[i]}")
+    energies = 1e3 * np.arange(1, n + 2, dtype=np.float64)
+    return Spectrum(
+        name=name or (label + "_varian_norm_derived"),
+        energies=energies.astype(np.float32),
+        probabilities=filtered.astype(np.float32),
+    )
+
+
 def attenuation_curve(material_identifier: str, table_set=None):
     """Total linear attenuation curve (energies_eV, mu_per_cm) of a bundled
     material at nominal density — for Beer-Lambert spectrum filtering (e.g.

@@ -56,6 +56,38 @@ def main():
             f"mean energy {spectrum.mean_energy/1e3:.3f} keV"
         )
 
+    build_bowtie_asset(args.source_dir, args.out_dir)
+
+
+def build_bowtie_asset(source_dir: Path, out_dir: Path):
+    """Extract the bowtie-filter physical data tables from the reference's
+    spectrum module (cbctmc/mc/spectrum.py:9-1339): the per-fan-position
+    aluminium thickness profiles (BOWTIE_FILTERS, mm), the Ti/Al linear
+    attenuation curves (FILTERS, 1/mm at a 1 keV grid) and the unfiltered
+    Varian-normalised tube spectra (VARIAN_NORM_SPECTRA, flux per 1 keV
+    bin). These are measured/physical data literals, not code; only the
+    data block of the module is evaluated."""
+    import numpy as np
+
+    src = source_dir.parent / "mc" / "spectrum.py"
+    text = src.read_text()
+    # the data block ends right before the attenuation helper section
+    end = text.index("@dataclass")
+    start = text.index("BOWTIE_FILTERS")
+    ns = {"np": np}
+    exec(text[start:end], ns)  # noqa: S102 - pure array literals
+
+    out = out_dir / "bowtie_filters.npz"
+    arrays = {}
+    for name, profile in ns["BOWTIE_FILTERS"].items():
+        arrays[f"bowtie_{name}_mm"] = np.asarray(profile, np.float64)
+    for name, mus in ns["FILTERS"].items():
+        arrays[f"mu_{name}_per_mm"] = np.asarray(mus, np.float64)
+    for kvp, flux in ns["VARIAN_NORM_SPECTRA"].items():
+        arrays[f"varian_norm_{kvp}kvp"] = np.asarray(flux, np.float64)
+    np.savez_compressed(out, **arrays)
+    print(f"Wrote {out}: {sorted(arrays)}")
+
 
 if __name__ == "__main__":
     main()
