@@ -284,6 +284,18 @@ def _forward_project_geometry(geometry, sim_folder: Path, n_projections: int):
     _write_projection_stack(
         fp[:, ::-1, :], sim_folder / "density_fp.mha", (0.388, 0.388)
     )
+    # RTK-compatible geometry export for cross-validation against an RTK
+    # install (reference: run_mc_simulations.py:442-443 writes geometry.xml
+    # next to the outputs; run-mc uses start_angle=90)
+    from cbctmc_tpu.recon.rtk_interop import (
+        create_rtk_geometry,
+        save_rtk_geometry_xml,
+    )
+
+    save_rtk_geometry_xml(
+        create_rtk_geometry(n_projections, start_angle=90.0),
+        sim_folder / "geometry.xml",
+    )
 
 
 def _forward_project_geometry_4d(sim_folder: Path, n_projections: int,

@@ -86,6 +86,38 @@ def test_patch_stitcher_mean():
     np.testing.assert_allclose(mean[:, 2:], 3.0)
 
 
+def test_patch_stitcher_variance_welford():
+    """The stitcher's M2 accumulation (reference PatchStitcher variance,
+    segmentation/patching.py:60-156) must equal the direct per-voxel sample
+    variance over the contributing patches, for arbitrary overlaps."""
+    rng = np.random.default_rng(3)
+    shape = (6, 5)
+    patches = [
+        (rng.normal(size=(4, 3)).astype(np.float32), (slice(0, 4), slice(0, 3))),
+        (rng.normal(size=(6, 5)).astype(np.float32), (slice(None), slice(None))),
+        (rng.normal(size=(3, 5)).astype(np.float32), (slice(2, 5), slice(None))),
+        (rng.normal(size=(6, 2)).astype(np.float32), (slice(None), slice(3, 5))),
+    ]
+    stitcher = PatchStitcher(shape)
+    samples = [[[] for _ in range(shape[1])] for _ in range(shape[0])]
+    for patch, slicing in patches:
+        stitcher.add_patch(patch, slicing)
+        rows = range(*slicing[0].indices(shape[0]))
+        cols = range(*slicing[1].indices(shape[1]))
+        for pi, i in enumerate(rows):
+            for pj, j in enumerate(cols):
+                samples[i][j].append(float(patch[pi, pj]))
+
+    mean = stitcher.calculate_mean()
+    var = stitcher.calculate_variance()
+    for i in range(shape[0]):
+        for j in range(shape[1]):
+            vals = np.array(samples[i][j])
+            assert mean[i, j] == pytest.approx(vals.mean(), abs=1e-5)
+            expected_var = vals.var(ddof=1) if len(vals) > 1 else 0.0
+            assert var[i, j] == pytest.approx(expected_var, abs=1e-4)
+
+
 def test_segmenter_end_to_end_tiny():
     model = FlexUNet(
         n_classes=N_LABELS, n_levels=2, ndim=3, n_filters=[4] * 6

@@ -222,3 +222,52 @@ def test_kernel_census_parsing(tmp_path):
     assert rows[0]["name"] == "fusion.1"
     assert rows[0]["total_ms"] == pytest.approx(0.15)
     assert rows[0]["count"] == 2
+
+
+def test_rtk_geometry_xml_writer(tmp_path):
+    """RTK geometry XML export (reference forward_projection.py:198-214):
+    structure, parameter round-trip, and geometric invariants of the
+    projection matrices."""
+    import xml.etree.ElementTree as ET
+
+    import numpy as np
+
+    from cbctmc_tpu.recon.rtk_interop import (
+        create_rtk_geometry,
+        save_rtk_geometry_xml,
+    )
+
+    geom = create_rtk_geometry(n_projections=4, start_angle=270.0)
+    path = save_rtk_geometry_xml(geom, tmp_path / "geometry.xml")
+    text = path.read_text()
+    assert "<!DOCTYPE RTKGEOMETRY>" in text
+
+    root = ET.fromstring(text.replace("<!DOCTYPE RTKGEOMETRY>", ""))
+    assert root.tag == "RTKThreeDCircularGeometry"
+    assert float(root.find("SourceToIsocenterDistance").text) == 1000.0
+    assert float(root.find("SourceToDetectorDistance").text) == 1500.0
+    assert float(root.find("ProjectionOffsetX").text) == -159.856
+    projections = root.findall("Projection")
+    assert len(projections) == 4
+    angles = [float(p.find("GantryAngle").text) for p in projections]
+    assert angles == [270.0, 0.0, 90.0, 180.0]
+
+    # matrix invariants: the isocenter projects to -projOffsetX in the
+    # detector frame (principal ray through the detector centre offset),
+    # and the source position is the matrix null direction
+    matrices = geom.matrices()
+    for i, ga in enumerate(geom.gantry_angles_deg):
+        m = matrices[i]
+        iso = m @ np.array([0.0, 0.0, 0.0, 1.0])
+        assert iso[0] / iso[2] == pytest.approx(-geom.projection_offset_x)
+        assert iso[1] / iso[2] == pytest.approx(0.0)
+        # source in world coordinates: R^T (sox, soy, sid)
+        g = np.radians(ga)
+        ry = np.array([
+            [np.cos(g), 0.0, np.sin(g)],
+            [0.0, 1.0, 0.0],
+            [-np.sin(g), 0.0, np.cos(g)],
+        ])
+        source_world = ry.T @ np.array([0.0, 0.0, geom.source_to_isocenter])
+        proj = m @ np.append(source_world, 1.0)
+        assert np.allclose(proj, 0.0, atol=1e-6)
