@@ -271,3 +271,21 @@ def test_rtk_geometry_xml_writer(tmp_path):
         source_world = ry.T @ np.array([0.0, 0.0, geom.source_to_isocenter])
         proj = m @ np.append(source_world, 1.0)
         assert np.allclose(proj, 0.0, atol=1e-6)
+
+
+def test_noise_fit_11_roi_deviation():
+    """The deviation metric must average |std-ref|/ref over the reference's
+    11 fit-noise ROIs (fit_noise.py:252-266)."""
+    from cbctmc_tpu.pipeline.noise_fit import (
+        NOISE_FIT_MATERIALS,
+        variance_deviation,
+    )
+    from cbctmc_tpu.physics.reference_values import (
+        REFERENCE_ROI_STATS_CATPHAN604_VARIAN as REF,
+    )
+
+    assert len(NOISE_FIT_MATERIALS) == 11
+    exact = {m: {"std": REF[m]["std"]} for m in NOISE_FIT_MATERIALS}
+    assert variance_deviation(exact) == pytest.approx(0.0)
+    off = {m: {"std": REF[m]["std"] * 1.1} for m in NOISE_FIT_MATERIALS}
+    assert variance_deviation(off) == pytest.approx(0.1, rel=1e-6)
