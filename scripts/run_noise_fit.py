@@ -54,8 +54,10 @@ def main(output_folder, n_projections, counts, phantom_xy, phantom_z,
 
     from cbctmc_tpu.engine.transport import EngineConfig
     from cbctmc_tpu.pipeline.noise_fit import (
+        NOISE_FIT_MATERIALS,
         fit_noise_law,
         simulate_and_reconstruct_water,
+        variance_deviation,
     )
     from cbctmc_tpu.physics.reference_values import (
         REFERENCE_ROI_STATS_CATPHAN604_VARIAN,
@@ -87,6 +89,25 @@ def main(output_folder, n_projections, counts, phantom_xy, phantom_z,
     a, c = fit_noise_law([int(x) for x in counts], stds)
     best_n_at_views = (a / max(target_std - c, 1e-9)) ** 2
     best_n_894 = best_n_at_views * n_projections / 894.0
+
+    # the reference's headline metric: mean relative std deviation over the
+    # 11 insert ROIs (fit_noise.py:252-266); solved over per-ROI noise laws
+    ref = REFERENCE_ROI_STATS_CATPHAN604_VARIAN
+    icounts = [int(x) for x in counts]
+    laws = {
+        m: fit_noise_law(icounts, [results[n][m]["std"] for n in icounts])
+        for m in NOISE_FIT_MATERIALS
+    }
+
+    def deviation_at(n_hist):
+        return float(np.mean([
+            abs((laws[m][0] / np.sqrt(n_hist) + laws[m][1]) - ref[m]["std"])
+            / ref[m]["std"] for m in NOISE_FIT_MATERIALS
+        ]))
+
+    grid = np.logspace(np.log10(icounts[0] / 4), np.log10(icounts[-1] * 1e3),
+                       600)
+    best_n_roi = float(grid[int(np.argmin([deviation_at(g) for g in grid]))])
     summary = {
         "fit_a": a,
         "fit_c": c,
@@ -99,6 +120,12 @@ def main(output_folder, n_projections, counts, phantom_xy, phantom_z,
         },
         "best_n_histories_at_n_projections": float(best_n_at_views),
         "best_n_histories_894_view_equivalent": float(best_n_894),
+        "best_n_11roi_at_n_projections": best_n_roi,
+        "best_n_11roi_894_view_equivalent": best_n_roi * n_projections / 894.0,
+        "deviation_at_best_11roi": deviation_at(best_n_roi),
+        "deviation_11roi_per_sample": {
+            str(n): variance_deviation(results[n]) for n in icounts
+        },
         "reference_value": 11_903_320_312,
         "samples": {str(int(n)): s for n, s in zip(counts, stds)},
     }
