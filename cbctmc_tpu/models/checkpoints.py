@@ -48,7 +48,10 @@ def publish_weights(ckpt_path, asset_dir, eval_report, gate) -> bool:
         )
         return False
     asset_dir.mkdir(parents=True, exist_ok=True)
-    shutil.copy(ckpt_path, asset_dir / "default.ckpt")
+    target = asset_dir / "default.ckpt"
+    # re-stamping the packaged asset in place passes ckpt_path == target
+    if Path(ckpt_path).resolve() != target.resolve():
+        shutil.copy(ckpt_path, target)
     stamp = dict(eval_report)
     stamp["quality_gate"] = {"passed": True, "reason": reason}
     (asset_dir / "default.eval.json").write_text(json.dumps(stamp, indent=2))
