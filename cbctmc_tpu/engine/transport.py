@@ -106,7 +106,15 @@ class VoxelVolume(NamedTuple):
     The per-voxel word packs (material index | air-clearance level |
     density) so the hot Woodcock loop performs one gather per flight."""
 
-    packed: jnp.ndarray  # u32 [nx*ny*nz]
+    packed: jnp.ndarray  # u32 [nx*ny*nz (+1 pad if odd)]
+    # the SAME words viewed as consecutive pairs, u32 [ceil(n_vox/2), 2].
+    # Kept as a separate INPUT array: row gathers against a [N/2, 2] input
+    # use its dense parameter layout (~8.6 ns/idx at 500 MB), whereas a
+    # reshape inside the jitted program is materialised with the TPU's
+    # (8, 128) tiled layout - the 2-wide minor dimension pads to 128 lanes
+    # and a 500 MB volume explodes to 32 GB (measured: OOM at trace time).
+    # XLA prunes whichever view a given engine config leaves unused.
+    packed_pairs: jnp.ndarray
     shape: Tuple[int, int, int]  # (nx, ny, nz) static
     voxel_size: jnp.ndarray  # f32[3] [cm]
     bbox: jnp.ndarray  # f32[3] [cm]
@@ -247,6 +255,7 @@ def make_voxel_volume(
         flat = np.concatenate([flat, flat[-1:]])
     return VoxelVolume(
         packed=jnp.asarray(flat),
+        packed_pairs=jnp.asarray(flat.reshape(-1, 2)),
         shape=(nx, ny, nz),
         voxel_size=jnp.asarray(voxel_size),
         bbox=jnp.asarray(bbox),
@@ -657,13 +666,7 @@ def run_projection(
             [tables.compton_icdf, tables.rayleigh_icdf], axis=0
         )
         n_icdf_rows = tables.compton_icdf.shape[0]
-        if config.paired_voxel_gather:
-            if volume.packed.shape[0] % 2:
-                raise ValueError(
-                    "paired_voxel_gather needs an even packed length "
-                    "(make_voxel_volume pads it)"
-                )
-            packed_pairs = volume.packed.reshape(-1, 2)
+        packed_pairs = volume.packed_pairs
 
     if config.rng_impl is not None:
         # derive a fast counter-based key for the bulk uniforms from the
