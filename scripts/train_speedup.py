@@ -17,15 +17,25 @@ from pathlib import Path
 @click.option("--batch-size", type=int, default=8)
 @click.option("--learning-rate", type=float, default=1e-4)
 @click.option("--seed", type=int, default=0)
+@click.option("--architecture",
+              type=click.Choice(["unet", "separated"]), default="unet",
+              help="unet = production MCSpeedUpNet (reference "
+                   "speedup/models.py:393-473); separated = the reference's "
+                   "two-RDN experimental variant (:267) for research parity")
 def main(data_folder, output_dir, n_steps, n_pretrain_steps, batch_size,
-         learning_rate, seed):
+         learning_rate, seed, architecture):
     import jax
 
     from cbctmc_tpu.models.datasets import SpeedupProjectionDataset
     from cbctmc_tpu.models.speedup_net import MCSpeedUpNet
     from cbctmc_tpu.models.training import SpeedupTrainer
 
-    model = MCSpeedUpNet()
+    if architecture == "separated":
+        from cbctmc_tpu.models.experimental import MCSpeedUpNetSeparated
+
+        model = MCSpeedUpNetSeparated()
+    else:
+        model = MCSpeedUpNet()
     trainer = SpeedupTrainer(
         model, n_pretrain_steps=n_pretrain_steps, learning_rate=learning_rate,
         output_dir=output_dir,

@@ -172,6 +172,33 @@ def test_speedup_trainer_two_phases(tmp_path):
     assert np.isfinite(losses).all()
 
 
+def test_speedup_trainer_separated_architecture(tmp_path):
+    """The experimental two-RDN variant (reference speedup/models.py:267)
+    must train through the production two-phase L1->NLL schedule - the
+    path scripts/train_speedup.py --architecture separated exercises."""
+    from cbctmc_tpu.models.experimental import MCSpeedUpNetSeparated
+
+    model = MCSpeedUpNetSeparated()
+    trainer = SpeedupTrainer(model, n_pretrain_steps=2, learning_rate=1e-3)
+    rng = np.random.default_rng(1)
+
+    def batches():
+        while True:
+            low = rng.random((2, 16, 16)).astype(np.float32)
+            yield {
+                "input": jnp.stack([low, low], axis=-1),
+                "target": jnp.asarray(low[..., None] * 1.1),
+            }
+
+    state = trainer.init(jax.random.PRNGKey(0), next(batches()))
+    losses = []
+    state = trainer.fit(
+        state, batches(), n_steps=4, callback=lambda s, l: losses.append(l)
+    )
+    assert state.step == 4
+    assert np.isfinite(losses).all()
+
+
 def test_segmentation_trainer_step():
     model = FlexUNet(n_classes=N_LABELS, n_levels=1, ndim=3, n_filters=[2, 2, 2, 2])
     trainer = SegmentationTrainer(model, learning_rate=1e-3)
