@@ -766,11 +766,14 @@ def run_projection(
     t_sub = config.max_virtual_trips // R
 
     def body(s):
-        keys = jax.random.split(s["key"], 6 + 3 * R)
+        # v4 additionally draws 2 keys per mid-iteration refill (below)
+        n_keys = 6 + 3 * R + (2 * (R - 1) if use_v4 else 0)
+        keys = jax.random.split(s["key"], n_keys)
         key, k_src_e, k_src_d, k_cand_e, k_cand_d, k_step = (
             keys[0], keys[1], keys[2], keys[3], keys[4], keys[5]
         )
-        res_keys = keys[6:]
+        res_keys = keys[6 : 6 + 3 * R]
+        mid_keys = keys[6 + 3 * R :]
 
         # ---------------- 1. refill dead lanes + candidate pool -----------
         dead = ~s["alive"]
@@ -837,10 +840,53 @@ def run_projection(
 
         # each lane whose photon has not been consumed by the refill holds a
         # pre-sampled candidate for mid-iteration adoption; adoption is only
-        # allowed while the budget cannot be overdrawn (remaining >= n after
-        # refill caps the <= n adoptions per iteration)
+        # allowed while the budget cannot be overdrawn (remaining >= n at
+        # the start of a flight caps the <= n adoptions of that flight; the
+        # guard is evaluated per flight from the carried counter so that
+        # mid-iteration refills cannot combine with adoption into an
+        # overdraw)
         cand_free0 = dir_ok
-        bulk = remaining >= n
+
+        def _mid_refill(fs, ke, kd):
+            """Engine v4: refill dead (absorbed / never-started) lanes at a
+            sub-phase boundary so they do not idle until the next iteration
+            top. Source sampling is gather-free (~2 ns/lane), so the extra
+            pool costs ~nothing against the voxel gathers the revived lanes
+            make productive. Parked lanes (escaped, record untallied) are
+            excluded - their frozen state feeds the iteration-end tally."""
+            (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive, pending,
+             escaped, k_air, k_soft, vox, mat_evt, xi, stash_idx,
+             stash_energy, stash_valid, cand_free, remaining) = fs
+            dead = ~alive & ~escaped
+
+            def _all(d):
+                return d
+
+            def _ordered(d):
+                order = jnp.cumsum(d.astype(jnp.int32)) - d.astype(jnp.int32)
+                return d & (order < remaining)
+
+            want_mid = jax.lax.cond(remaining >= n, _all, _ordered, dead)
+            e_m, mdir, mpos, ok_m = sample_photons(ke, kd)
+            ref = want_mid & ok_m
+            started = jnp.sum(ref.astype(jnp.int32))
+            px = jnp.where(ref, mpos[0], px)
+            py = jnp.where(ref, mpos[1], py)
+            pz = jnp.where(ref, mpos[2], pz)
+            dx = jnp.where(ref, mdir[0], dx)
+            dy = jnp.where(ref, mdir[1], dy)
+            dz = jnp.where(ref, mdir[2], dz)
+            energy = jnp.where(ref, e_m, energy)
+            ebin = jnp.where(ref, ebin_of(e_m), ebin)
+            scatter = jnp.where(ref, 0, scatter)
+            alive = alive | ref
+            k_air = jnp.where(ref, 0, k_air)
+            k_soft = jnp.where(ref, 0, k_soft)
+            fs = (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
+                  pending, escaped, k_air, k_soft, vox, mat_evt, xi,
+                  stash_idx, stash_energy, stash_valid, cand_free,
+                  remaining - started)
+            return fs, started
 
         # ---------------- 2. Woodcock virtual-event flights --------------
         # (the majorant tiers are evaluated analytically inside each flight
@@ -996,7 +1042,7 @@ def run_projection(
             stash_energy = jnp.where(do_stash, energy, stash_energy)
             stash_valid = stash_valid | do_stash
 
-            adopt = do_stash & cand_free & bulk
+            adopt = do_stash & cand_free & (remaining >= n)
             escaped = escaped | (newly_escaped & ~do_stash)
             alive = alive & (~newly_escaped | adopt)
             cand_free = cand_free & ~adopt
@@ -1059,6 +1105,17 @@ def run_projection(
                       pending, escaped, k_air, k_soft, vox, mat_evt, xi,
                       stash_idx, stash_energy, stash_valid, cand_free,
                       remaining)
+                if r < R - 1:
+                    # mid-refilled histories land in the counts[6]
+                    # adoption bucket (computed from the remaining-counter
+                    # decrement in the shared stats block below)
+                    fs, _mid_started = _mid_refill(
+                        fs, mid_keys[2 * r], mid_keys[2 * r + 1]
+                    )
+                (px, py, pz, dx, dy, dz, energy, ebin, scatter, alive,
+                 pending, escaped, k_air, k_soft, vox, mat_evt, xi,
+                 stash_idx, stash_energy, stash_valid, cand_free,
+                 remaining) = fs
 
             # one full-lane tally per iteration: each lane contributes its
             # stash OR its parked record; the rare lanes holding BOTH carry
