@@ -481,6 +481,29 @@ class EngineConfig:
         return max(32, int(self.n_lanes * self.doubles_fraction))
 
 
+def production_engine_config(
+    best_config_path: str | None = "/root/repo/runs/sweep/best_config.json",
+    **overrides,
+) -> EngineConfig:
+    """The tuned production EngineConfig: the recorded sweep winner
+    (scripts/sweep_engine_configs.py writes runs/sweep/best_config.json)
+    when available, else the engine-v4 tuned fallback (T=2 flights x 2
+    resolves at 256k lanes — the measured v5e optimum; small lane batches
+    both raise flight-slot utilisation and lower the per-index gather
+    cost, runs/sweep_v4_c.log)."""
+    import json
+
+    base = dict(n_lanes=1 << 18, max_virtual_trips=2, n_resolves=2)
+    if best_config_path:
+        try:
+            with open(best_config_path) as f:
+                base = json.load(f)["config"]
+        except (OSError, KeyError, ValueError, TypeError):
+            pass
+    base.update(overrides)
+    return EngineConfig(**base)
+
+
 def _flight_pair_tables(tables: DeviceTables) -> jnp.ndarray:
     """Flat total inverse-MFP table addressed by a fused
     (energy-bin, material) index: ``sig_pair f32[n_bins*n_mats, 2]`` with

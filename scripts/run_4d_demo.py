@@ -34,7 +34,8 @@ import click
 @click.option("--amplitude-mm", type=float, default=20.0)
 @click.option("--n-phases", type=int, default=10)
 @click.option("--quantization", type=int, default=5)
-@click.option("--n-lanes", type=int, default=1 << 20)
+@click.option("--n-lanes", type=int, default=None,
+              help="override the sweep-winner lane count")
 @click.option("--rooster-iterations", type=int, default=4,
               help="ROOSTER outer iterations (reference production: 10; "
                    "the demo's centroid-trajectory metric converges by ~4 "
@@ -55,7 +56,7 @@ def main(output_folder, n_projections, n_histories, air_histories,
     import numpy as np
 
     from cbctmc_tpu.engine.simulate import SimulationParameters
-    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.engine.transport import EngineConfig, production_engine_config
     from cbctmc_tpu.geometry.phantoms import CIRSPhantomGeometry
     from cbctmc_tpu.pipeline.correspondence import CorrespondenceModel
     from cbctmc_tpu.pipeline.respiratory import RespiratorySignal
@@ -156,9 +157,8 @@ def main(output_folder, n_projections, n_histories, air_histories,
             n_projections=n_projections,
             angle_between_projections=360.0 / n_projections,
         ),
-        engine_config=EngineConfig(
-            n_lanes=n_lanes, max_virtual_trips=4, event_fraction=0.35
-        ),
+        engine_config=production_engine_config(
+        **({'n_lanes': n_lanes} if n_lanes else {})),
         air_n_histories=int(air_histories),
     )
     sim_folder = output_folder / "simulation"

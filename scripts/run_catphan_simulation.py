@@ -27,7 +27,8 @@ import click
 @click.option("--air-histories", type=float, default=2e9)
 @click.option("--phantom-shape", type=int, default=500)
 @click.option("--phantom-spacing", type=float, default=1.0)
-@click.option("--n-lanes", type=int, default=1 << 20)
+@click.option("--n-lanes", type=int, default=None,
+              help="override the sweep-winner lane count")
 @click.option("--seed", type=int, default=42)
 def main(output_folder, n_projections, n_histories, air_histories,
          phantom_shape, phantom_spacing, n_lanes, seed):
@@ -38,7 +39,7 @@ def main(output_folder, n_projections, n_histories, air_histories,
                       str(Path(__file__).parent.parent / ".jax_cache"))
 
     from cbctmc_tpu.engine.simulate import MCScanner, SimulationParameters
-    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.engine.transport import EngineConfig, production_engine_config
     from cbctmc_tpu.geometry.phantoms import AirGeometry, CatPhan604Geometry
     from cbctmc_tpu.utils.logging import init_fancy_logging as init_logging
 
@@ -46,9 +47,8 @@ def main(output_folder, n_projections, n_histories, air_histories,
     output_folder = Path(output_folder)
     output_folder.mkdir(parents=True, exist_ok=True)
 
-    config = EngineConfig(
-        n_lanes=n_lanes, max_virtual_trips=4, event_fraction=0.35
-    )
+    config = production_engine_config(
+        **({'n_lanes': n_lanes} if n_lanes else {}))
     params = SimulationParameters(
         n_histories=int(n_histories), n_projections=n_projections,
         angle_between_projections=360.0 / n_projections,

@@ -26,7 +26,8 @@ import click
 @click.option("--n-projections", type=int, default=45)
 @click.option("--line-gaps", type=float, multiple=True,
               default=(1.0, 2.0, 3.0, 4.0))
-@click.option("--n-lanes", type=int, default=1 << 20)
+@click.option("--n-lanes", type=int, default=None,
+              help="override the sweep-winner lane count")
 @click.option("--detector-binning", type=int, default=2)
 def main(output_folder, n_histories, n_projections, line_gaps, n_lanes,
          detector_binning):
@@ -35,7 +36,7 @@ def main(output_folder, n_histories, n_projections, line_gaps, n_lanes,
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).parent.parent / ".jax_cache"))
 
-    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.engine.transport import EngineConfig, production_engine_config
     from cbctmc_tpu.pipeline.mtf_workflow import run_line_pair_simulations
 
     result = run_line_pair_simulations(
@@ -43,9 +44,8 @@ def main(output_folder, n_histories, n_projections, line_gaps, n_lanes,
         line_gaps=tuple(line_gaps),
         n_histories=int(n_histories),
         n_projections=n_projections,
-        engine_config=EngineConfig(
-            n_lanes=n_lanes, max_virtual_trips=4, event_fraction=0.35
-        ),
+        engine_config=production_engine_config(
+        **({'n_lanes': n_lanes} if n_lanes else {})),
         detector_binning=detector_binning,
     )
     print(result, flush=True)

@@ -41,7 +41,8 @@ import click
 @click.option("--counts", type=float, nargs=3, default=(6e7, 1.8e8, 5.4e8))
 @click.option("--phantom-xy", type=int, default=400)
 @click.option("--phantom-z", type=int, default=120)
-@click.option("--n-lanes", type=int, default=1 << 20)
+@click.option("--n-lanes", type=int, default=None,
+              help="override the sweep-winner lane count")
 @click.option("--detector-binning", type=int, default=4)
 def main(output_folder, n_projections, counts, phantom_xy, phantom_z,
          n_lanes, detector_binning):
@@ -52,7 +53,7 @@ def main(output_folder, n_projections, counts, phantom_xy, phantom_z,
 
     import numpy as np
 
-    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.engine.transport import EngineConfig, production_engine_config
     from cbctmc_tpu.pipeline.noise_fit import (
         NOISE_FIT_MATERIALS,
         fit_noise_law,
@@ -65,8 +66,8 @@ def main(output_folder, n_projections, counts, phantom_xy, phantom_z,
 
     output_folder = Path(output_folder)
     output_folder.mkdir(parents=True, exist_ok=True)
-    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=4,
-                          event_fraction=0.35)
+    config = production_engine_config(
+        **({'n_lanes': n_lanes} if n_lanes else {}))
     target_std = REFERENCE_ROI_STATS_CATPHAN604_VARIAN["water"]["std"]
 
     stds, results = [], {}

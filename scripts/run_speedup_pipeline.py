@@ -29,7 +29,8 @@ import click
 @click.option("--n-views", type=int, default=16, help="views per scene")
 @click.option("--n-low", type=float, default=5e7)
 @click.option("--n-high", type=float, default=4e8)
-@click.option("--n-lanes", type=int, default=1 << 20)
+@click.option("--n-lanes", type=int, default=None,
+              help="override the sweep-winner lane count")
 @click.option("--train-steps", type=int, default=1200)
 @click.option("--pretrain-steps", type=int, default=600)
 @click.option("--batch-size", type=int, default=4)
@@ -45,7 +46,7 @@ def main(output_folder, n_views, n_low, n_high, n_lanes, train_steps,
                       str(Path(__file__).parent.parent / ".jax_cache"))
 
     from cbctmc_tpu.engine.simulate import MCScanner, SimulationParameters
-    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.engine.transport import EngineConfig, production_engine_config
     from cbctmc_tpu.geometry.phantoms import (
         CatPhan604Geometry,
         CIRSPhantomGeometry,
@@ -65,8 +66,8 @@ def main(output_folder, n_views, n_low, n_high, n_lanes, train_steps,
     for d in (output_folder, triplet_dir, holdout_dir):
         d.mkdir(parents=True, exist_ok=True)
 
-    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=8,
-                          event_fraction=0.35)
+    config = production_engine_config(
+        **({'n_lanes': n_lanes} if n_lanes else {}))
 
     scenes = {
         "catphan": CatPhan604Geometry(

@@ -45,6 +45,22 @@ def build_configs():
         # lane count
         "V4_T4_R2_L21": EngineConfig(n_lanes=1 << 21, max_virtual_trips=4),
         "V4_T4_R2_L19": EngineConfig(n_lanes=1 << 19, max_virtual_trips=4),
+        "V4_T4_R2_L18": EngineConfig(n_lanes=1 << 18, max_virtual_trips=4),
+        "V4_T4_R2_L17": EngineConfig(n_lanes=1 << 17, max_virtual_trips=4),
+        "V4_T4_R4_L19": EngineConfig(n_lanes=1 << 19, max_virtual_trips=4,
+                                     n_resolves=4),
+        "V4_T2_R2_L19": EngineConfig(n_lanes=1 << 19, max_virtual_trips=2),
+        "V4_T2_R2_L18": EngineConfig(n_lanes=1 << 18, max_virtual_trips=2),
+        "V4_T2_R2_L17": EngineConfig(n_lanes=1 << 17, max_virtual_trips=2),
+        "V4_T2_R2_L16": EngineConfig(n_lanes=1 << 16, max_virtual_trips=2),
+        "V4_T1_R1_L18": EngineConfig(n_lanes=1 << 18, max_virtual_trips=1,
+                                     n_resolves=1),
+        "V4_T3_R3_L18": EngineConfig(n_lanes=1 << 18, max_virtual_trips=3,
+                                     n_resolves=3),
+        "V4_T4_R4_L18": EngineConfig(n_lanes=1 << 18, max_virtual_trips=4,
+                                     n_resolves=4),
+        "V4_T8_R4_L19": EngineConfig(n_lanes=1 << 19, max_virtual_trips=8,
+                                     n_resolves=4),
         # component A/Bs at the production point
         "V4_T4_R2_FLATVOX": EngineConfig(n_lanes=L, max_virtual_trips=4,
                                          paired_voxel_gather=False),

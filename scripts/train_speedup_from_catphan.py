@@ -27,7 +27,8 @@ import click
 @click.option("--catphan-folder", type=click.Path(path_type=Path), required=True)
 @click.option("--output-folder", type=click.Path(path_type=Path), required=True)
 @click.option("--n-low", type=float, default=6e6)
-@click.option("--n-lanes", type=int, default=1 << 20)
+@click.option("--n-lanes", type=int, default=None,
+              help="override the sweep-winner lane count")
 @click.option("--train-steps", type=int, default=6000)
 @click.option("--pretrain-steps", type=int, default=5000)
 @click.option("--batch-size", type=int, default=4)
@@ -42,7 +43,7 @@ def main(catphan_folder, output_folder, n_low, n_lanes, train_steps,
                       str(Path(__file__).parent.parent / ".jax_cache"))
 
     from cbctmc_tpu.engine.simulate import MCScanner, SimulationParameters
-    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.engine.transport import EngineConfig, production_engine_config
     from cbctmc_tpu.geometry.phantoms import CatPhan604Geometry
     from cbctmc_tpu.models.datasets import (
         SpeedupProjectionDataset,
@@ -68,8 +69,8 @@ def main(catphan_folder, output_folder, n_low, n_lanes, train_steps,
     print(f"{n_views} high-photon projections from the acceptance run",
           flush=True)
 
-    config = EngineConfig(n_lanes=n_lanes, max_virtual_trips=4,
-                          event_fraction=0.35)
+    config = production_engine_config(
+        **({'n_lanes': n_lanes} if n_lanes else {}))
     phantom = CatPhan604Geometry(shape=(500, 500, 500),
                                  image_spacing=(1.0, 1.0, 1.0))
 
