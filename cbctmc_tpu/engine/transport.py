@@ -488,12 +488,12 @@ def production_engine_config(
     """The tuned production EngineConfig: the recorded sweep winner
     (scripts/sweep_engine_configs.py writes runs/sweep/best_config.json)
     when available, else the engine-v4 tuned fallback (T=2 flights x 2
-    resolves at 256k lanes — the measured v5e optimum; small lane batches
-    both raise flight-slot utilisation and lower the per-index gather
-    cost, runs/sweep_v4_c.log)."""
+    resolves at 64k lanes, 1.24e7 hist/s — the measured v5e optimum;
+    small lane batches both raise flight-slot utilisation and lower the
+    effective per-index gather cost, runs/sweep_v4_d.log)."""
     import json
 
-    base = dict(n_lanes=1 << 18, max_virtual_trips=2, n_resolves=2)
+    base = dict(n_lanes=1 << 16, max_virtual_trips=2, n_resolves=2)
     if best_config_path:
         try:
             with open(best_config_path) as f:

@@ -68,6 +68,14 @@ def build_configs():
                                         sigma_mode="table"),
         "V4_T4_R2_ALIAS": EngineConfig(n_lanes=L, max_virtual_trips=4,
                                        spectrum_mode="alias"),
+        "V4_T2_R2_L16_FLATVOX": EngineConfig(
+            n_lanes=1 << 16, max_virtual_trips=2, paired_voxel_gather=False),
+        "V4_T2_R2_L16_SIGTAB": EngineConfig(
+            n_lanes=1 << 16, max_virtual_trips=2, sigma_mode="table"),
+        "V4_T2_R2_L16_ALIAS": EngineConfig(
+            n_lanes=1 << 16, max_virtual_trips=2, spectrum_mode="alias"),
+        "V4_T2_R2_L16_RITA": EngineConfig(
+            n_lanes=1 << 16, max_virtual_trips=2, rayleigh_mode="rita"),
         # ---- engine v3.4 reference points (resolve_inplace=False) ----
         "T4": EngineConfig(n_lanes=L, max_virtual_trips=4,
                            event_fraction=0.35, resolve_inplace=False),
