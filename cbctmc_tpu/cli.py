@@ -97,8 +97,8 @@ def _load_geometry(
 @click.option("--catphan-phantom", is_flag=True)
 @click.option("--dry-run", is_flag=True)
 @click.option("--random-seed", type=int, default=42)
-@click.option("--n-lanes", type=int, default=1 << 17,
-              help="Photon lanes per device (engine batch width)")
+@click.option("--n-lanes", type=int, default=None,
+              help="Photon lanes per device (default: the recorded sweep-winner engine config)")
 @click.option("--loglevel", type=click.Choice(
     ["debug", "info", "warning", "error", "critical"]), default="info")
 def run_mc(
@@ -114,7 +114,7 @@ def run_mc(
     """Run 3D/4D Monte-Carlo CBCT simulation (the reference's ``run-mc``)."""
     _init_logging(loglevel)
     from cbctmc_tpu.engine.simulate import SimulationParameters
-    from cbctmc_tpu.engine.transport import EngineConfig
+    from cbctmc_tpu.engine.transport import production_engine_config
     from cbctmc_tpu.pipeline.simulation import MCSimulation, MCSimulation4D
 
     output_folder = Path(output_folder)
@@ -182,7 +182,8 @@ def run_mc(
     if not configs:
         configs["reference"] = reference_n_histories
 
-    engine_config = EngineConfig(n_lanes=n_lanes)
+    engine_config = production_engine_config(
+        **({'n_lanes': n_lanes} if n_lanes else {}))
     is_4d = correspondence_model is not None and respiratory_signal is not None
 
     for config_name, n_histories in configs.items():
