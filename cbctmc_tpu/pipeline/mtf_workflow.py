@@ -124,6 +124,19 @@ def evaluate_line_pair_volume(
     }
 
 
+def mtf_from_line_pair_stats(
+    line_gaps: Sequence[float],
+    maxima: Sequence[float],
+    minima: Sequence[float],
+) -> Dict[float, float]:
+    """MTF keyed by spatial frequency (lp/mm), normalised to the coarsest
+    pattern. One line pair spans ``2 * gap`` mm (bar + gap), matching the
+    reference convention (scripts/plot_mtfs.py:27)."""
+    spacings = [2.0 * gap for gap in line_gaps]
+    mtf = calculate_mtf(spacings, maxima, minima)
+    return {1.0 / spacing: value for spacing, value in mtf.items()}
+
+
 def run_line_pair_simulations(
     output_folder: Path,
     line_gaps: Sequence[float] = (1.0, 2.0, 3.0, 4.0),
@@ -135,7 +148,7 @@ def run_line_pair_simulations(
     output_folder = Path(output_folder)
     output_folder.mkdir(parents=True, exist_ok=True)
 
-    maxima, minima, spacings = [], [], []
+    maxima, minima = [], []
     photon_report = {}
     for gap in line_gaps:
         volume, phantom, photon_stats = simulate_line_pair(
@@ -145,13 +158,11 @@ def run_line_pair_simulations(
         photon_report[f"{gap:.2f}"] = photon_stats
         np.save(output_folder / f"recon_lp_{gap:.2f}mm.npy", volume)
         stats = evaluate_line_pair_volume(volume, phantom, gap)
-        # line pair spacing in lp/mm: one pair spans 2*gap
-        spacings.append(1.0 / (2.0 * gap))
         maxima.append(stats["maximum"])
         minima.append(stats["minimum"])
         logger.info("line gap %.2f mm: %s", gap, stats)
 
-    mtf = calculate_mtf(spacings, maxima, minima)
+    mtf = mtf_from_line_pair_stats(line_gaps, maxima, minima)
     result = {
         "line_gaps_mm": list(line_gaps),
         "n_histories": int(n_histories),

@@ -139,6 +139,21 @@ def test_mtf():
     assert mtf[2.0] == pytest.approx(0.6, rel=1e-6)
     assert mtf[1.0] == pytest.approx(0.2, rel=1e-6)
 
+    # workflow-level convention: keys are lp/mm frequencies, normalised to
+    # the COARSEST pattern (regression: passing frequencies into
+    # calculate_mtf inverted the normalisation, r4 mtf.json v1)
+    from cbctmc_tpu.pipeline.mtf_workflow import mtf_from_line_pair_stats
+
+    report = mtf_from_line_pair_stats(
+        line_gaps=[1.0, 2.0, 4.0],
+        maxima=[0.6, 0.8, 1.0],
+        minima=[0.4, 0.2, 0.0],
+    )
+    # coarsest gap=4 -> frequency 1/8 lp/mm is the normalisation anchor
+    assert report[1.0 / 8.0] == pytest.approx(1.0)
+    assert report[1.0 / 2.0] == pytest.approx(0.2, rel=1e-6)
+    assert all(v <= 1.0 + 1e-9 for v in report.values())
+
     # synthetic line-pair profile image
     profile = 0.5 + 0.5 * np.sin(np.linspace(0, 6 * np.pi, 90))
     image = np.tile(profile[:, None, None], (1, 8, 8))
