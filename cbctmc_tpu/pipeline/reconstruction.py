@@ -177,10 +177,14 @@ def reconstruct_4d(
         shape=(dimension[0], dimension[2], dimension[1]),
         spacing=(spacing[0], spacing[2], spacing[1]),
     )
+    # resumable: progress persists per outer iteration; removed on success
+    checkpoint = output_folder / f"{output_filename}.ckpt.npz"
     volumes = rooster_reconstruct(
         stack, geometry, angles, phase_signal, grid=grid,
         parameters=parameters, water_precorrection=water_pre_correction,
+        checkpoint_path=str(checkpoint),
     )
+    checkpoint.unlink(missing_ok=True)
     volumes = np.stack([engine_volume_to_mc_frame(v) for v in volumes])
 
     out = output_folder / output_filename

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+from pathlib import Path
 from functools import partial
 from typing import Sequence
 
@@ -166,8 +167,17 @@ def rooster_reconstruct(
     grid: VolumeGrid | None = None,
     parameters: RoosterParameters | None = None,
     water_precorrection: Sequence[float] | None = None,
+    checkpoint_path: "str | None" = None,
 ) -> np.ndarray:
-    """Returns the 4D volume [n_phases, x, y, z]."""
+    """Returns the 4D volume [n_phases, x, y, z].
+
+    ``checkpoint_path`` (``.npz``) makes the run resumable: the volumes are
+    materialised (host readback — also bounding the device async queue) and
+    saved after every outer iteration, and a restart continues from the
+    last completed iteration if the recorded shape/parameters match. This
+    is the recon-side analogue of the simulation's per-projection resume
+    (the reference relies on rtkfourdrooster being fast enough to rerun;
+    on a preemptible TPU worker the checkpoint is the honest equivalent)."""
     grid = grid or VolumeGrid()
     par = parameters or RoosterParameters()
 
@@ -182,10 +192,35 @@ def rooster_reconstruct(
     weights = phase_interpolation_weights(phase_signal, par.n_phases)
     angles = np.asarray(angles_deg, np.float64)
 
-    # initialise every phase with the phase-weighted FDK (common warm start)
-    logger.info("ROOSTER init: FDK warm start")
-    init = fdk_reconstruct(projections, geometry, angles, grid=grid)
-    volumes = jnp.tile(jnp.asarray(init, jnp.float32)[None], (par.n_phases, 1, 1, 1))
+    ckpt_key = repr((tuple(grid.shape), dataclasses.astuple(par),
+                     projections.shape))
+    start_iteration = 0
+    volumes = None
+    if checkpoint_path is not None:
+        cp = Path(checkpoint_path)
+        if cp.is_file():
+            saved = np.load(cp, allow_pickle=False)
+            if str(saved.get("key", "")) == ckpt_key:
+                start_iteration = int(saved["outer_done"])
+                volumes = jnp.asarray(saved["volumes"])
+                logger.info(
+                    "ROOSTER resume: %d/%d outer iterations from %s",
+                    start_iteration, par.n_iterations, cp,
+                )
+            else:
+                logger.warning(
+                    "ROOSTER checkpoint %s does not match this run; ignoring",
+                    cp,
+                )
+
+    if volumes is None:
+        # initialise every phase with the phase-weighted FDK (common warm
+        # start)
+        logger.info("ROOSTER init: FDK warm start")
+        init = fdk_reconstruct(projections, geometry, angles, grid=grid)
+        volumes = jnp.tile(
+            jnp.asarray(init, jnp.float32)[None], (par.n_phases, 1, 1, 1)
+        )
 
     spacing = np.asarray(grid.spacing, np.float64)
     origin = grid.origin_or_centered()
@@ -293,7 +328,7 @@ def rooster_reconstruct(
             forward, vol, b, w, par.n_data_subiterations
         )
 
-    for outer in range(par.n_iterations):
+    for outer in range(start_iteration, par.n_iterations):
         new_volumes = []
         for phase in range(par.n_phases):
             w_all = weights[:, phase]
@@ -327,6 +362,15 @@ def rooster_reconstruct(
             )(volumes)
         if par.gamma_time > 0 and par.n_phases > 1:
             volumes = _temporal_tv(volumes, par.gamma_time, par.n_tv_iterations)
+        if checkpoint_path is not None:
+            # host readback: bounds the device async queue (a crashed TPU
+            # worker otherwise surfaces only at the final materialisation)
+            # and persists progress
+            host = np.asarray(volumes)
+            cp = Path(checkpoint_path)
+            tmp = cp.with_suffix(".tmp.npz")
+            np.savez(tmp, key=ckpt_key, outer_done=outer + 1, volumes=host)
+            tmp.replace(cp)
         logger.info("ROOSTER outer iteration %d/%d done", outer + 1, par.n_iterations)
 
     return np.asarray(volumes)

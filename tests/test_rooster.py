@@ -172,3 +172,57 @@ def test_splat_adjoint_matches_transpose_and_ad():
     np.testing.assert_allclose(
         np.asarray(aty), np.asarray(aty_ad), rtol=2e-4, atol=2e-5
     )
+
+
+def test_rooster_checkpoint_resume(tmp_path):
+    """1 iteration + resumed 2nd == straight 2-iteration run (bitwise on
+    CPU); mismatching runs ignore the checkpoint."""
+    spacing = 4.0
+    vol = make_cylinder(0.0, spacing=spacing)
+    n_proj = 8
+    angles = 270.0 + np.arange(n_proj) * 360.0 / n_proj
+    projections = np.asarray(
+        project_forward(vol, GEOM, angles, volume_spacing=(spacing,) * 3,
+                        step_mm=2.0)
+    )
+    phase = (np.arange(n_proj) % 2) * 0.5
+    grid = VolumeGrid(shape=(24, 24, 4), spacing=(8.0, 8.0, 4.0))
+
+    def par(n_iter):
+        return RoosterParameters(
+            n_phases=2, n_iterations=n_iter, n_data_subiterations=1,
+            n_tv_iterations=2,
+        )
+
+    ckpt = tmp_path / "rooster.ckpt.npz"
+    straight = rooster_reconstruct(
+        projections, GEOM, angles, phase, grid=grid, parameters=par(2),
+    )
+
+    first = rooster_reconstruct(
+        projections, GEOM, angles, phase, grid=grid, parameters=par(1),
+        checkpoint_path=str(ckpt),
+    )
+    assert ckpt.is_file()
+    # rewrite the checkpoint under the 2-iteration parameter key so the
+    # resumed run accepts it (simulates a crash after outer iteration 1
+    # of a 2-iteration run)
+    saved = np.load(ckpt)
+    import dataclasses as dc
+    key = repr((tuple(grid.shape), dc.astuple(par(2)), projections.shape))
+    np.savez(ckpt, key=key, outer_done=saved["outer_done"],
+             volumes=saved["volumes"])
+
+    resumed = rooster_reconstruct(
+        projections, GEOM, angles, phase, grid=grid, parameters=par(2),
+        checkpoint_path=str(ckpt),
+    )
+    np.testing.assert_allclose(resumed, straight, rtol=1e-5, atol=1e-7)
+    assert first.shape == straight.shape
+
+    # a checkpoint from a different configuration is ignored
+    fresh = rooster_reconstruct(
+        projections, GEOM, angles, phase, grid=grid, parameters=par(1),
+        checkpoint_path=str(ckpt),
+    )
+    np.testing.assert_allclose(fresh, first, rtol=1e-5, atol=1e-7)
