@@ -91,6 +91,29 @@ def main(out, n_idx):
         f = jax.jit(lambda t, i: t[i].sum().reshape(1))
         report(f"gather_f32x{w}_row", timed(f, tw, idw))
 
+    # ---- row-gather [N,2] cost vs TABLE SIZE (voxel-compression lever:
+    # would a u16/u8-packed volume move the gather into a cheaper regime?)
+    for rows_log2, label in [(22, "32MB"), (24, "128MB"), (25, "256MB"),
+                             (26, "512MB")]:
+        nr = 1 << rows_log2
+        t2 = jnp.ones((nr, 2), jnp.uint32)
+        i2 = jax.random.randint(key, (n_idx,), 0, nr, dtype=jnp.int32)
+        f = jax.jit(
+            lambda t, i: t[i].astype(jnp.float32).sum().reshape(1))
+        report(f"gather_u32x2row_{label}", timed(f, t2, i2))
+        t2_16 = jnp.ones((nr, 2), jnp.uint16)
+        report(f"gather_u16x2row_{label}", timed(f, t2_16, i2))
+
+    # ---- gather cost vs BATCH SIZE (the unexplained 64k-beats-1M effect) --
+    big = jnp.ones((1 << 26, 2), jnp.uint32)  # 512 MB paired table
+    for bs_log2 in (14, 15, 16, 17, 18, 20):
+        bs = 1 << bs_log2
+        ib = jax.random.randint(key, (bs,), 0, 1 << 26, dtype=jnp.int32)
+        f = jax.jit(
+            lambda t, i: t[i].astype(jnp.float32).sum().reshape(1))
+        report(f"gather_u32x2row_512MB_batch{bs >> 10}k",
+               timed(f, big, ib, n_iter=50), n_ops=bs)
+
     # ---- dependent chain vs independent gathers ----------------------------
     tbl = jax.random.randint(key, (n_rows,), 0, n_rows, dtype=jnp.int32)
     idx = jax.random.randint(key, (n_idx,), 0, n_rows, dtype=jnp.int32)

@@ -61,6 +61,24 @@ def build_configs():
                                      n_resolves=4),
         "V4_T8_R4_L19": EngineConfig(n_lanes=1 << 19, max_virtual_trips=8,
                                      n_resolves=4),
+        # fine sweep around the round-4 production point (T2 R2 64k):
+        # lane floor, trip/resolve shape and event budget
+        "V4_T2_R2_L15": EngineConfig(n_lanes=1 << 15, max_virtual_trips=2),
+        "V4_T2_R2_L14": EngineConfig(n_lanes=1 << 14, max_virtual_trips=2),
+        "V4_T1_R1_L16": EngineConfig(n_lanes=1 << 16, max_virtual_trips=1,
+                                     n_resolves=1),
+        "V4_T1_R1_L15": EngineConfig(n_lanes=1 << 15, max_virtual_trips=1,
+                                     n_resolves=1),
+        "V4_T3_R3_L16": EngineConfig(n_lanes=1 << 16, max_virtual_trips=3,
+                                     n_resolves=3),
+        "V4_T2_R1_L16": EngineConfig(n_lanes=1 << 16, max_virtual_trips=2,
+                                     n_resolves=1),
+        "V4_T2_R2_L16_EF25": EngineConfig(n_lanes=1 << 16,
+                                          max_virtual_trips=2,
+                                          event_fraction=0.25),
+        "V4_T2_R2_L16_EF50": EngineConfig(n_lanes=1 << 16,
+                                          max_virtual_trips=2,
+                                          event_fraction=0.5),
         # component A/Bs at the production point
         "V4_T4_R2_FLATVOX": EngineConfig(n_lanes=L, max_virtual_trips=4,
                                          paired_voxel_gather=False),
