@@ -49,9 +49,18 @@ def plot_noise_fit(path: Path, out: Path) -> bool:
     ax.loglog(counts, stds, "o", color="tab:red", label="measured")
     ax.axhline(d["target_std"], color="k", ls="--", lw=0.8,
                label=f"Varian water std {d['target_std']:.2e}")
-    if "best_n_histories_at_n_projections" in d:
-        ax.axvline(d["best_n_histories_at_n_projections"], color="gray",
-                   ls=":", lw=0.8)
+    # the 11-ROI optimum (the reference's headline metric); the water-only
+    # solution can be floor-limited (c > target) on binned grids and is
+    # then omitted rather than plotted at a meaningless 1e20
+    best_roi = d.get("best_n_11roi_at_n_projections")
+    if best_roi and counts.min() / 10 < best_roi < counts.max() * 100:
+        ax.axvline(best_roi, color="gray", ls=":", lw=0.8,
+                   label="11-ROI optimum")
+    if c >= d["target_std"]:
+        ax.text(0.03, 0.05, "water fit floor-limited:\nc > Varian target "
+                "on this grid", transform=ax.transAxes, fontsize=6,
+                color="gray")
+    ax.set_xlim(counts.min() / 8, counts.max() * 30)
     ax.set_xlabel("histories / projection")
     ax.set_ylabel("water-ROI std [1/mm]")
     binning = d.get("detector_binning", 1)
