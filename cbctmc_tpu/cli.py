@@ -26,6 +26,27 @@ def _init_logging(loglevel: str):
         level=getattr(logging, loglevel.upper()),
         format="%(asctime)s %(levelname)-7s %(name)s: %(message)s",
     )
+    _init_jax()
+
+
+def _init_jax():
+    """Honor JAX_PLATFORMS and set the compilation cache.
+
+    This environment's axon TPU integration force-selects its platform
+    during ``import jax``, so a user's JAX_PLATFORMS=cpu env var is
+    silently ignored unless re-applied via jax.config afterwards (same
+    workaround as tests/conftest.py)."""
+    import os
+
+    import jax
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        jax.config.update("jax_platforms", platforms)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).parent.parent / ".jax_cache"),
+    )
 
 
 def _load_geometry(
@@ -97,6 +118,9 @@ def _load_geometry(
 @click.option("--catphan-phantom", is_flag=True)
 @click.option("--dry-run", is_flag=True)
 @click.option("--random-seed", type=int, default=42)
+@click.option("--air-n-histories", type=float, default=None,
+              help="Flat-field air-scan histories (default 5e10, the "
+                   "reference's air budget; reduced runs can lower it)")
 @click.option("--n-lanes", type=int, default=None,
               help="Photon lanes per device (default: the recorded sweep-winner engine config)")
 @click.option("--loglevel", type=click.Choice(
@@ -109,7 +133,7 @@ def run_mc(
     no_clean, correspondence_model, respiratory_signal,
     respiratory_signal_quantization, respiratory_signal_scaling,
     precompile_geometries, cirs_phantom, catphan_phantom, dry_run,
-    random_seed, n_lanes, loglevel,
+    random_seed, air_n_histories, n_lanes, loglevel,
 ):
     """Run 3D/4D Monte-Carlo CBCT simulation (the reference's ``run-mc``)."""
     _init_logging(loglevel)
@@ -216,6 +240,8 @@ def run_mc(
                 geometry=geometry,
                 parameters=params,
                 engine_config=engine_config,
+                **({"air_n_histories": int(air_n_histories)}
+                   if air_n_histories else {}),
             )
             sim4d.run_simulation(
                 respiratory_signal=signal,
@@ -224,7 +250,10 @@ def run_mc(
             )
         else:
             sim = MCSimulation(
-                geometry=geometry, parameters=params, engine_config=engine_config
+                geometry=geometry, parameters=params,
+                engine_config=engine_config,
+                **({"air_n_histories": int(air_n_histories)}
+                   if air_n_histories else {}),
             )
             sim.run_simulation(sim_folder, seed=random_seed)
 

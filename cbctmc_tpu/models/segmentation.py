@@ -144,7 +144,9 @@ class MCSegmenter:
             image, self.input_value_range, (0.0, 1.0), clip=True
         )
 
-        # pad up to the patch shape if the image is smaller
+        # pad up to the patch shape if the image is smaller (cropped back
+        # below — the reference unpads too, segmenter.py:96-101)
+        original_shape = image.shape
         pad = [
             (0, max(0, p - s)) for s, p in zip(image.shape, self.patch_shape)
         ]
@@ -173,4 +175,7 @@ class MCSegmenter:
         prediction[:N_SOFTMAX_LABELS] = np.eye(N_SOFTMAX_LABELS, dtype=np.uint8)[
             :, argmax
         ]
+        sx, sy, sz = original_shape
+        prediction = prediction[:, :sx, :sy, :sz]
+        raw = raw[:, :sx, :sy, :sz]
         return prediction.astype(np.uint8), raw

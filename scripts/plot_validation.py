@@ -223,6 +223,9 @@ def main(output_dir):
         (plot_acceptance,
          REPO / "docs/validation/catphan_acceptance_r3.json",
          "catphan_acceptance_r3.png"),
+        (plot_acceptance,
+         REPO / "runs/catphan_r4/report/catphan_acceptance.json",
+         "catphan_acceptance_r4.png"),
         (plot_speedup, REPO / "runs/speedup/speedup_eval.json",
          "speedup_holdout.png"),
         (plot_4d_motion, REPO / "runs/4d_demo/4d_demo.json",

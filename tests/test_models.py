@@ -136,6 +136,15 @@ def test_segmenter_end_to_end_tiny():
     np.testing.assert_array_equal(one_hot[:8].sum(axis=0), 1)
     assert get_label_index("lung") == 6
 
+    # images SMALLER than the patch must come back at their own shape
+    # (regression: the pad-to-patch was returned uncropped, r4 patient demo)
+    small = np.random.default_rng(1).normal(0, 300, (10, 12, 9)).astype(
+        np.float32
+    )
+    one_hot_s, raw_s = seg.segment(small)
+    assert one_hot_s.shape == (N_LABELS, 10, 12, 9)
+    assert raw_s.shape == one_hot_s.shape
+
 
 def test_losses():
     probs = jnp.array([[[[1.0, 0.0]]]])
