@@ -87,8 +87,13 @@ class RespiratorySignal:
         """Linear-interpolation resampling; at the scanner frame rate one
         sample corresponds to one projection
         (reference: mc/simulation.py:557-564)."""
+        # round, don't truncate: total_seconds * frequency lands at
+        # 119.99999... for e.g. 72 projections at 15 fps (72/15 * 25 Hz
+        # source), and int() would drop the last projection's sample
         new_time = np.linspace(
-            0.0, self.total_seconds, int(self.total_seconds * sampling_frequency)
+            0.0,
+            self.total_seconds,
+            int(round(self.total_seconds * sampling_frequency)),
         )
         return RespiratorySignal(
             signal=np.interp(new_time, self.time, self.signal),
@@ -122,7 +127,9 @@ class RespiratorySignal:
     @classmethod
     def create_sin4(cls, total_seconds, period=5.0, amplitude=1.0,
                     sampling_frequency=25.0) -> "RespiratorySignal":
-        t = np.linspace(0, total_seconds, int(total_seconds * sampling_frequency))
+        t = np.linspace(
+            0, total_seconds, int(round(total_seconds * sampling_frequency))
+        )
         # sin^4 doubles the base frequency -> halve it to keep the period
         signal = amplitude * np.sin(2 * np.pi * t / (2 * period)) ** 4
         return cls(signal, sampling_frequency=sampling_frequency)
@@ -130,7 +137,9 @@ class RespiratorySignal:
     @classmethod
     def create_cos4(cls, total_seconds, period=5.0, amplitude=1.0,
                     sampling_frequency=25.0) -> "RespiratorySignal":
-        t = np.linspace(0, total_seconds, int(total_seconds * sampling_frequency))
+        t = np.linspace(
+            0, total_seconds, int(round(total_seconds * sampling_frequency))
+        )
         signal = amplitude * np.cos(2 * np.pi * t / (2 * period)) ** 4
         return cls(signal, sampling_frequency=sampling_frequency)
 

@@ -283,6 +283,26 @@ class MCSimulation4D:
         resampled = respiratory_signal.resample(self.frame_rate)
         signal = resampled.signal[: p.n_projections]
         dt_signal = resampled.dt_signal[: p.n_projections]
+        if len(signal) < p.n_projections:
+            # float jitter in total_seconds * frame_rate can leave the
+            # resampled signal a sample short; edge-pad rather than lose
+            # the last projection from the bookkeeping (a 71-entry
+            # projection_geometries.yaml for a 72-view scan aborts the
+            # 4D forward projection downstream)
+            short = p.n_projections - len(signal)
+            if short > 2:
+                raise ValueError(
+                    f"Respiratory signal covers only {len(signal)} of "
+                    f"{p.n_projections} projections; provide a longer signal"
+                )
+            logger.warning(
+                "Respiratory signal %d sample(s) short of n_projections; "
+                "edge-padding", short,
+            )
+            signal = np.concatenate([signal, np.repeat(signal[-1], short)])
+            dt_signal = np.concatenate(
+                [dt_signal, np.repeat(dt_signal[-1], short)]
+            )
         np.savetxt(
             output_folder / "signal.txt",
             np.stack((signal, dt_signal)).T,

@@ -32,6 +32,20 @@ def test_respiratory_signal_basics():
     )[0, 1] > 0.97
 
 
+def test_resample_covers_every_projection():
+    # regression: int() truncation dropped the last sample when
+    # total_seconds * frequency landed at N - epsilon (e.g. 72 projections
+    # at 15 fps from a 25 Hz source), leaving a 71-entry
+    # projection_geometries.yaml for a 72-view 4D scan
+    for n_projections in (7, 8, 72, 120, 894):
+        total = n_projections / 15.0
+        sig = RespiratorySignal.create_sin4(
+            total_seconds=total, period=total, sampling_frequency=25.0
+        )
+        resampled = sig.resample(15.0)
+        assert len(resampled.signal) >= n_projections
+
+
 def test_quantization_and_unique_signals():
     sig = RespiratorySignal.create_sin4(total_seconds=30)
     q = RespiratorySignal.quantize_signal(sig.signal, n_bins=10)
