@@ -87,10 +87,20 @@ def main(output_folder, n_projections, n_histories, air_histories,
     # the full arc quasi-uniformly, so the run can be stopped early and
     # still reconstruct (assemble_catphan_parts reorders by angle)
     stride = 8
-    order = np.concatenate(
-        [np.arange(s0, n_projections, stride) for s0 in range(stride)]
-    )
-    np.save(output_folder / "order.npy", order)
+    order_path = output_folder / "order.npy"
+    if order_path.is_file():
+        # resuming: the part files are indexed against the order that was
+        # in force when they were written - never recompute it
+        order = np.load(order_path)
+    else:
+        # bit-reversed class sequence: any prefix of stride classes covers
+        # the arc as uniformly as possible (0,4,2,6,... instead of 0,1,2,...)
+        classes = sorted(range(stride),
+                         key=lambda s: int(f"{s:03b}"[::-1], 2))
+        order = np.concatenate(
+            [np.arange(s0, n_projections, stride) for s0 in classes]
+        )
+        np.save(order_path, order)
     t0 = time.monotonic()
     chunk = 10  # projections per checkpoint file
     n_done = 0
