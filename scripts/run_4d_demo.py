@@ -130,12 +130,21 @@ def main(output_folder, n_projections, n_histories, air_histories,
     # reference phase + Wilms OLS fit on (amplitude, d/dt amplitude)
     signals = np.stack([phase_amp, phase_damp])
     t1 = time.monotonic()
-    model = CorrespondenceModel.build_default(
-        images=phase_images, signals=signals, reference_phase=2,
-    )
-    model_path = model.save(output_folder / "correspondence_model.pkl.gz")
-    print(f"correspondence model fitted ({time.monotonic()-t1:.0f}s)",
-          flush=True)
+    cached = sorted(output_folder.glob("correspondence_model.pkl_*.pkl"))
+    if cached:
+        # re-registering costs ~10 min of device time; the demo phantom is
+        # deterministic for fixed options, so a cached fit is exact
+        model = CorrespondenceModel.load(cached[-1])
+        model_path = cached[-1]
+        print(f"correspondence model loaded from cache ({cached[-1].name})",
+              flush=True)
+    else:
+        model = CorrespondenceModel.build_default(
+            images=phase_images, signals=signals, reference_phase=2,
+        )
+        model_path = model.save(output_folder / "correspondence_model.pkl.gz")
+        print(f"correspondence model fitted ({time.monotonic()-t1:.0f}s)",
+              flush=True)
 
     # respiratory signal for the scan: one sin^4 cycle over the scan
     total_seconds = n_projections / 15.0
