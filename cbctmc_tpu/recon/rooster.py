@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from pathlib import Path
 from functools import partial
 from typing import Sequence
@@ -42,6 +43,13 @@ from cbctmc_tpu.recon.geometry import ConeBeamGeometry, VolumeGrid
 from cbctmc_tpu.recon.joseph import _project_one, make_linear_projector
 
 logger = logging.getLogger(__name__)
+
+def _sync_debug() -> bool:
+    """Per-stage host-readback instrumentation: localises an async
+    TPU-worker crash to the op group that triggered it (the runtime
+    otherwise surfaces the fault only at the next materialisation, many
+    stages later)."""
+    return bool(os.environ.get("CBCTMC_ROOSTER_SYNC"))
 
 
 def phase_interpolation_weights(
@@ -221,6 +229,9 @@ def rooster_reconstruct(
         volumes = jnp.tile(
             jnp.asarray(init, jnp.float32)[None], (par.n_phases, 1, 1, 1)
         )
+        if _sync_debug():
+            logger.info("ROOSTER sync: FDK warm start done, sum=%.6g",
+                        float(np.asarray(jnp.sum(volumes))))
 
     spacing = np.asarray(grid.spacing, np.float64)
     origin = grid.origin_or_centered()
@@ -351,6 +362,11 @@ def rooster_reconstruct(
             elif len(proj_indices):
                 for _ in range(par.n_data_subiterations):
                     vol = data_update(vol, proj_indices, w_all[proj_indices])
+            if _sync_debug():
+                logger.info(
+                    "ROOSTER sync: outer %d phase %d done, sum=%.6g",
+                    outer + 1, phase, float(np.asarray(jnp.sum(vol))),
+                )
             new_volumes.append(vol)
         volumes = jnp.stack(new_volumes)
 
@@ -360,8 +376,14 @@ def rooster_reconstruct(
                     v, par.gamma_space, par.n_tv_iterations
                 )
             )(volumes)
+            if _sync_debug():
+                logger.info("ROOSTER sync: outer %d spatial TV done, sum=%.6g",
+                            outer + 1, float(np.asarray(jnp.sum(volumes))))
         if par.gamma_time > 0 and par.n_phases > 1:
             volumes = _temporal_tv(volumes, par.gamma_time, par.n_tv_iterations)
+            if _sync_debug():
+                logger.info("ROOSTER sync: outer %d temporal TV done, sum=%.6g",
+                            outer + 1, float(np.asarray(jnp.sum(volumes))))
         if checkpoint_path is not None:
             # host readback: bounds the device async queue (a crashed TPU
             # worker otherwise surfaces only at the final materialisation)

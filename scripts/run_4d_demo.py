@@ -17,8 +17,13 @@ Usage (TPU):
 """
 
 import json
+import os
 import sys
 import time
+
+# the demo's ROOSTER step has crashed the TPU worker asynchronously; keep
+# per-stage sync readbacks on so a recurrence localises to the faulting op
+os.environ.setdefault("CBCTMC_ROOSTER_SYNC", "1")
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
