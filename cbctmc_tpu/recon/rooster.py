@@ -130,6 +130,11 @@ class RoosterParameters:
     # reference's data term); "landweber": gradient steps with the
     # voxel-driven backprojector
     data_method: str = "cg"
+    # "host": one device program per operator application (CG loop runs on
+    # the host; robust — a fused CG is the largest XLA program in the repo
+    # and worker-side failures of it are unattributable); "fused": the
+    # whole CG update as a single jitted program
+    cg_dispatch: str = "host"
 
 
 def _cg_normal_equations(forward, vol0, b, w, n_iter: int):
@@ -317,27 +322,64 @@ def rooster_reconstruct(
         np.array([0.0, 0.0, 1.0]), n_steps=n_steps, step_mm=step_mm,
     )
 
+    def _forward(v, srcs, dets, eus):
+        def fchunk(args):
+            s, d, e = args
+            return jax.vmap(lambda a, c, u_: _proj(v, a, c, u_))(s, d, e)
+
+        out = jax.lax.map(
+            fchunk,
+            (
+                srcs.reshape(-1, proj_chunk, 3),
+                dets.reshape(-1, proj_chunk, 3),
+                eus.reshape(-1, proj_chunk, 3),
+            ),
+        )
+        return out.reshape(max_sel, geometry.n_pixels_v,
+                           geometry.n_pixels_u)
+
     @partial(jax.jit, static_argnames=())
     def cg_update(vol, srcs, dets, eus, b, w):
-        def forward(v):
-            def fchunk(args):
-                s, d, e = args
-                return jax.vmap(lambda a, c, u_: _proj(v, a, c, u_))(s, d, e)
-
-            out = jax.lax.map(
-                fchunk,
-                (
-                    srcs.reshape(-1, proj_chunk, 3),
-                    dets.reshape(-1, proj_chunk, 3),
-                    eus.reshape(-1, proj_chunk, 3),
-                ),
-            )
-            return out.reshape(max_sel, geometry.n_pixels_v,
-                               geometry.n_pixels_u)
-
         return _cg_normal_equations(
-            forward, vol, b, w, par.n_data_subiterations
+            lambda v: _forward(v, srcs, dets, eus), vol, b, w,
+            par.n_data_subiterations,
         )
+
+    # host-dispatched CG: numerically identical to cg_update but issues
+    # one device program per operator application instead of fusing the
+    # whole CG loop — (n_iter+2) x (forward + adjoint) chunk loops in a
+    # single XLA program is the largest computation in the repo, and
+    # worker-side failures of a giant program are unrecoverable and
+    # unattributable (the async runtime surfaces them much later)
+    @partial(jax.jit, static_argnames=())
+    def ata_apply(v, srcs, dets, eus, w):
+        fx, vjp_fn = jax.vjp(lambda x: _forward(x, srcs, dets, eus), v)
+        return vjp_fn(w[:, None, None] * fx)[0]
+
+    @partial(jax.jit, static_argnames=())
+    def adjoint_apply(v, y, srcs, dets, eus, w):
+        _, vjp_fn = jax.vjp(lambda x: _forward(x, srcs, dets, eus), v)
+        return vjp_fn(w[:, None, None] * y)[0]
+
+    def cg_update_host(vol, srcs, dets, eus, b, w):
+        eps = jnp.float32(1e-30)
+        x = vol
+        rhs = adjoint_apply(vol, b, srcs, dets, eus, w)
+        r = rhs - ata_apply(x, srcs, dets, eus, w)
+        p = r
+        rs = jnp.vdot(r, r)
+        for it in range(par.n_data_subiterations):
+            ap = ata_apply(p, srcs, dets, eus, w)
+            alpha = rs / jnp.maximum(jnp.vdot(p, ap), eps)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / jnp.maximum(rs, eps)) * p
+            rs = rs_new
+            if _sync_debug():
+                logger.info("ROOSTER sync: CG subiteration %d done, rs=%.6g",
+                            it + 1, float(np.asarray(rs)))
+        return x
 
     for outer in range(start_iteration, par.n_iterations):
         new_volumes = []
@@ -351,7 +393,9 @@ def rooster_reconstruct(
                 w_sel = np.zeros(max_sel, np.float32)
                 w_sel[: len(proj_indices)] = w_all[proj_indices]
                 det_centers = sources[sel] + dirs[sel] * geometry.sdd
-                vol = cg_update(
+                update = (cg_update_host if par.cg_dispatch == "host"
+                          else cg_update)
+                vol = update(
                     vol,
                     jnp.asarray(sources[sel], jnp.float32),
                     jnp.asarray(det_centers, jnp.float32),

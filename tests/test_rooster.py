@@ -226,3 +226,31 @@ def test_rooster_checkpoint_resume(tmp_path):
         checkpoint_path=str(ckpt),
     )
     np.testing.assert_allclose(fresh, first, rtol=1e-5, atol=1e-7)
+
+
+def test_cg_host_dispatch_matches_fused():
+    # the host-dispatched CG (one device program per operator application)
+    # must be numerically identical to the fused single-program CG; the
+    # split exists because the fused program is the largest XLA computation
+    # in the repo and has crashed the TPU worker unattributably
+    rng = np.random.default_rng(0)
+    geo = ConeBeamGeometry(
+        n_pixels_u=48, n_pixels_v=32,
+        pixel_size_u=8.0, pixel_size_v=8.0, detector_offset_u=0.0,
+    )
+    n = 16
+    angles = np.linspace(0, 360, n, endpoint=False)
+    phase = np.linspace(0, 1, n, endpoint=False)
+    proj = rng.random((n, 32, 48), np.float32)
+    grid = VolumeGrid(shape=(24, 24, 16), spacing=(8.0, 8.0, 8.0))
+    out = {}
+    for mode in ("fused", "host"):
+        out[mode] = rooster_reconstruct(
+            proj, geo, angles, phase, grid=grid,
+            parameters=RoosterParameters(
+                n_phases=3, n_iterations=2, n_data_subiterations=3,
+                cg_dispatch=mode,
+            ),
+        )
+    scale = np.abs(out["fused"]).max()
+    assert np.abs(out["fused"] - out["host"]).max() <= 1e-4 * scale
