@@ -140,8 +140,8 @@ def filter_projections(
     return g
 
 
-@partial(jax.jit, static_argnames=("vol_shape",))
-def _backproject(
+@partial(jax.jit, static_argnames=("vol_shape",), donate_argnums=(12,))
+def _backproject_into(
     filtered,  # [P, nv, nu]
     sources,  # [P, 3]
     dirs,  # [P, 3]
@@ -154,6 +154,12 @@ def _backproject(
     sad,
     sdd,
     angular_weight,
+    # accumulate into an existing volume (donated) so the host can stream
+    # view chunks through one compiled program: a single program covering
+    # all views of a production scan (894) reproducibly crashes the TPU
+    # worker (round-4 acceptance, runs/r4queue3/acceptance.log), while the
+    # 120-view round-3 run survived — program run length is the variable
+    vol_in=None,
 ):
     nxv, nyv, nzv = vol_shape
     xs = vol_origin[0] + vol_spacing[0] * jnp.arange(nxv, dtype=jnp.float32)
@@ -205,9 +211,23 @@ def _backproject(
         w = (sad / depth) ** 2
         return vol + jnp.where(inside, sample * w, 0.0)
 
-    vol = jnp.zeros(vol_shape, jnp.float32)
-    vol = jax.lax.fori_loop(0, filtered.shape[0], body, vol)
-    return vol * angular_weight
+    vol = jax.lax.fori_loop(
+        0, filtered.shape[0], body, jnp.zeros(vol_shape, jnp.float32)
+    )
+    return vol_in + vol * angular_weight
+
+
+def _backproject(
+    filtered, sources, dirs, e_us, u0_inv_du, v0_inv_dv, vol_shape: tuple,
+    vol_origin, vol_spacing, sad, sdd, angular_weight,
+):
+    """One-shot backprojection (ROOSTER's Landweber fallback and tests).
+    Prefer the streaming loop in fdk_reconstruct for production view counts."""
+    return _backproject_into(
+        filtered, sources, dirs, e_us, u0_inv_du, v0_inv_dv, vol_shape,
+        vol_origin, vol_spacing, sad, sdd, angular_weight,
+        vol_in=jnp.zeros(vol_shape, jnp.float32),
+    )
 
 
 def fdk_reconstruct(
@@ -220,36 +240,80 @@ def fdk_reconstruct(
     hann_y: float = 1.0,
     water_precorrection: Sequence[float] | None = None,
     arc_deg: float = 360.0,
+    view_chunk: int = 64,
 ) -> np.ndarray:
     """Full FDK reconstruction. Returns the volume [x, y, z] (z = rotation
-    axis) in the projections' inverse-length unit per mm."""
+    axis) in the projections' inverse-length unit per mm.
+
+    The view loop is STREAMED from the host in ``view_chunk``-sized device
+    programs (filter + backprojection per chunk, one compiled program reused
+    across chunks, a cheap readback after each to bound the async queue).
+    One monolithic program over a production scan (894 views, the
+    reference's defaults.py:25) reproducibly crashed the TPU worker in
+    round 4 (runs/r4queue3/acceptance.log) while chunk-scale programs
+    survive; streaming also bounds filter memory (a full-resolution stack's
+    rfft intermediate alone exceeds a v5e's 16 GB HBM)."""
     grid = grid or VolumeGrid()
-    filtered = filter_projections(
-        projections, geometry, pad=pad, hann=hann, hann_y=hann_y,
-        water_precorrection=water_precorrection,
-    )
+    projections = np.asarray(projections, np.float32)
+    n_views = projections.shape[0]
+    view_chunk = max(1, min(view_chunk, n_views))
 
     angles = np.asarray(angles_deg, np.float64)
-    sources = jnp.asarray(geometry.source_positions(angles), jnp.float32)
-    dirs = jnp.asarray(geometry.beam_directions(angles), jnp.float32)
-    e_us = jnp.asarray(geometry.u_axes(angles), jnp.float32)
+    sources = geometry.source_positions(angles).astype(np.float32)
+    dirs = geometry.beam_directions(angles).astype(np.float32)
+    e_us = geometry.u_axes(angles).astype(np.float32)
 
     u = geometry.u_coordinates()
     v = geometry.v_coordinates()
     angular_weight = np.deg2rad(arc_deg) / (2.0 * len(angles))
 
-    vol = _backproject(
-        filtered,
-        sources,
-        dirs,
-        e_us,
-        jnp.asarray([u[0], 1.0 / geometry.pixel_size_u], jnp.float32),
-        jnp.asarray([v[0], 1.0 / geometry.pixel_size_v], jnp.float32),
-        tuple(grid.shape),
-        jnp.asarray(grid.origin_or_centered(), jnp.float32),
-        jnp.asarray(grid.spacing, jnp.float32),
-        jnp.float32(geometry.sad),
-        jnp.float32(geometry.sdd),
-        jnp.float32(angular_weight),
-    )
+    u0_inv_du = jnp.asarray([u[0], 1.0 / geometry.pixel_size_u], jnp.float32)
+    v0_inv_dv = jnp.asarray([v[0], 1.0 / geometry.pixel_size_v], jnp.float32)
+    vol_origin = jnp.asarray(grid.origin_or_centered(), jnp.float32)
+    vol_spacing = jnp.asarray(grid.spacing, jnp.float32)
+
+    vol = jnp.zeros(tuple(grid.shape), jnp.float32)
+    for start in range(0, n_views, view_chunk):
+        stop = min(start + view_chunk, n_views)
+        # zero-pad the last chunk to the compiled chunk shape: zero
+        # projections filter and backproject to zero, so replicated
+        # geometry rows contribute nothing
+        chunk = np.zeros(
+            (view_chunk, *projections.shape[1:]), np.float32
+        )
+        chunk[: stop - start] = projections[start:stop]
+        src = np.repeat(sources[stop - 1 : stop], view_chunk, axis=0)
+        dr = np.repeat(dirs[stop - 1 : stop], view_chunk, axis=0)
+        eu = np.repeat(e_us[stop - 1 : stop], view_chunk, axis=0)
+        src[: stop - start] = sources[start:stop]
+        dr[: stop - start] = dirs[start:stop]
+        eu[: stop - start] = e_us[start:stop]
+
+        filtered = filter_projections(
+            chunk, geometry, pad=pad, hann=hann, hann_y=hann_y,
+            water_precorrection=water_precorrection,
+        )
+        if stop - start < view_chunk:
+            # padded views are not zero after filtering when the WPC
+            # polynomial has a constant term — mask them out explicitly
+            filtered = filtered.at[stop - start :].set(0.0)
+        vol = _backproject_into(
+            filtered,
+            jnp.asarray(src),
+            jnp.asarray(dr),
+            jnp.asarray(eu),
+            u0_inv_du,
+            v0_inv_dv,
+            tuple(grid.shape),
+            vol_origin,
+            vol_spacing,
+            jnp.float32(geometry.sad),
+            jnp.float32(geometry.sdd),
+            jnp.float32(angular_weight),
+            vol_in=vol,
+        )
+        # sync: bound the in-flight program queue and surface a worker
+        # fault at the chunk that caused it (block_until_ready does not
+        # sync on this platform — docs/ROOFLINE.md)
+        np.asarray(vol[0, 0, 0])
     return np.asarray(vol)

@@ -306,12 +306,17 @@ def rooster_reconstruct(
     # of the projection chunk so the chunked forward tiles evenly
     phase_sets = [np.where(weights[:, ph] > 1e-6)[0] for ph in range(par.n_phases)]
     max_sel = max((len(x) for x in phase_sets), default=0)
-    # bound rays per compiled projection program: beyond ~700k rays the
-    # gather chain reproducibly kernel-faults the TPU runtime (see
-    # project_forward's row tiling), and smaller programs also bound the
-    # splat-adjoint's per-lane volume copies
+    # bound GATHER WORK per compiled device program, not just rays: the TPU
+    # runtime kernel-faults on long gather chains — measured working point
+    # ~4e8 ray-step gathers per program (project_forward's row tiling),
+    # reproducible crash at ~1.2e9 (round-4 ROOSTER CG, probe_recon_r5
+    # stage 4). Budget each projection program to ~1.5e8 ray-steps.
     n_rays = geometry.n_pixels_v * geometry.n_pixels_u
-    proj_chunk = max(1, min(max_sel, 300_000 // max(n_rays, 1)))
+    gather_budget = 150_000_000
+    proj_chunk = max(
+        1, min(max_sel if max_sel else 1,
+               int(gather_budget // max(n_rays * n_steps, 1)) or 1)
+    )
     max_sel = -(-max_sel // proj_chunk) * proj_chunk
 
     # forward operator with the analytic splat adjoint (AD through the

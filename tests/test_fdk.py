@@ -108,3 +108,27 @@ def test_water_precorrection_polynomial():
     out = np.asarray(apply_water_precorrection(p, [1.0, 0.5, 0.25]))
     # 1 + 0.5*2 + 0.25*4 = 3
     np.testing.assert_allclose(out, 3.0, rtol=1e-6)
+
+
+def test_fdk_view_chunking_matches_monolithic():
+    """Streamed chunked backprojection (round-5 TPU-worker-crash fix) is
+    numerically identical to a single-program reconstruction, including a
+    ragged last chunk and a WPC polynomial with a constant term (padded
+    zero views must not leak the order-0 coefficient into the volume)."""
+    vol, spacing = make_cylinder(n=64)
+    angles = np.arange(0.0, 360.0, 10.0) + 270.0  # 36 views
+    proj = project_forward(
+        vol, GEOM, angles, volume_spacing=(spacing, spacing, spacing),
+        step_mm=2.0,
+    )
+    grid = VolumeGrid(shape=(48, 48, 4), spacing=(2.0, 2.0, 2.0))
+    wpc = [0.05, 0.9, 0.02]
+    ref = fdk_reconstruct(
+        proj, GEOM, angles, grid=grid, water_precorrection=wpc,
+        view_chunk=64,
+    )
+    chunked = fdk_reconstruct(
+        proj, GEOM, angles, grid=grid, water_precorrection=wpc,
+        view_chunk=10,  # 36 = 3 full chunks + ragged 6
+    )
+    np.testing.assert_allclose(chunked, ref, rtol=1e-5, atol=1e-7)
