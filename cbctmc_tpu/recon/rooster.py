@@ -135,6 +135,13 @@ class RoosterParameters:
     # and worker-side failures of it are unattributable); "fused": the
     # whole CG update as a single jitted program
     cg_dispatch: str = "host"
+    # "shearwarp": the MXU matmul-factorised projector pair
+    # (recon/shearwarp.py) — no data-dependent gathers, so it cannot hit
+    # the TPU gather-chain kernel fault, and it is 1-2 orders of magnitude
+    # faster than the ray march at production view counts; "joseph": the
+    # ray-marched pair (reference-identical discretisation, used by tests
+    # and as fallback for grids the shear-warp cannot express)
+    projector: str = "shearwarp"
 
 
 def _cg_normal_equations(forward, vol0, b, w, n_iter: int):
@@ -386,13 +393,73 @@ def rooster_reconstruct(
                             it + 1, float(np.asarray(rs)))
         return x
 
+    # --- shear-warp data term: the production path. Per phase, a matched
+    # forward/transpose pair of dense MXU programs over that phase's views
+    # (recon/shearwarp.py); the CG loop runs on the host with a readback
+    # per subiteration, so programs stay small and attributable.
+    sw_projectors = None
+    if par.data_method == "cg" and par.projector == "shearwarp":
+        from cbctmc_tpu.recon.shearwarp import ShearWarpProjector
+
+        try:
+            sw_projectors = [
+                ShearWarpProjector(
+                    tuple(grid.shape), origin, spacing, geometry,
+                    angles[phase_sets[ph]],
+                )
+                for ph in range(par.n_phases)
+            ]
+        except ValueError as exc:
+            logger.warning(
+                "shear-warp projector unavailable for this grid (%s); "
+                "falling back to the ray-marched pair", exc,
+            )
+
+    def cg_update_shearwarp(ph, vol, b, w):
+        P = sw_projectors[ph]
+        w3 = jnp.asarray(w, jnp.float32)[:, None, None]
+        b = jnp.asarray(b, jnp.float32)
+
+        def ata(x):
+            return P.transpose(w3 * P.forward(x))
+
+        eps = jnp.float32(1e-30)
+        x = vol
+        r = P.transpose(w3 * b) - ata(x)
+        p = r
+        rs = jnp.vdot(r, r)
+        for it in range(par.n_data_subiterations):
+            ap = ata(p)
+            alpha = rs / jnp.maximum(jnp.vdot(p, ap), eps)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / jnp.maximum(rs, eps)) * p
+            rs = rs_new
+            # readback every subiteration: bounds the async queue AND
+            # detects stagnation early
+            rs_host = float(np.asarray(rs))
+            if _sync_debug():
+                logger.info("ROOSTER sync: CG(sw) subiteration %d rs=%.6g",
+                            it + 1, rs_host)
+            if not np.isfinite(rs_host):
+                raise FloatingPointError(
+                    f"ROOSTER CG diverged (rs={rs_host}) at phase {ph}"
+                )
+        return x
+
     for outer in range(start_iteration, par.n_iterations):
         new_volumes = []
         for phase in range(par.n_phases):
             w_all = weights[:, phase]
             proj_indices = phase_sets[phase]
             vol = volumes[phase]
-            if len(proj_indices) and par.data_method == "cg":
+            if len(proj_indices) and sw_projectors is not None:
+                vol = cg_update_shearwarp(
+                    phase, vol, projections[proj_indices],
+                    w_all[proj_indices],
+                )
+            elif len(proj_indices) and par.data_method == "cg":
                 sel = np.zeros(max_sel, np.int64)
                 sel[: len(proj_indices)] = proj_indices
                 w_sel = np.zeros(max_sel, np.float32)

@@ -305,13 +305,17 @@ class ShearWarpProjector:
         self.n_views = len(angles_deg)
         k90, theta = _theta_quarter(angles_deg)
         self.views_per_call = int(views_per_call)
-        # stable partition: per quarter-turn bucket, chunks of views
-        self._calls = []  # (k90, view_indices, thetas)
+        # stable partition: per quarter-turn bucket, chunks of views. Ragged
+        # chunks are padded to views_per_call with theta=0 dummies so only
+        # ONE program shape compiles per quarter-turn (n_valid masks them)
+        self._calls = []  # (k90, view_indices[n_valid], thetas[chunk])
         for k in range(4):
             idx = np.where(k90 == k)[0]
             for lo in range(0, len(idx), self.views_per_call):
                 sel = idx[lo : lo + self.views_per_call]
-                self._calls.append((k, sel, jnp.asarray(theta[sel])))
+                th = np.zeros(self.views_per_call, np.float32)
+                th[: len(sel)] = theta[sel]
+                self._calls.append((k, sel, jnp.asarray(th)))
 
     def forward(self, volume) -> jnp.ndarray:
         """A @ volume: [P, nv, nu] line integrals (unit * mm)."""
@@ -321,18 +325,19 @@ class ShearWarpProjector:
         out = jnp.zeros((self.n_views, nv, nu), jnp.float32)
         for k, sel, thetas in self._calls:
             p = _sw_project_group(spec, k, vol_padded, thetas)
-            out = out.at[jnp.asarray(sel)].set(p)
+            out = out.at[jnp.asarray(sel)].set(p[: len(sel)])
         return out
 
     def transpose(self, projections) -> jnp.ndarray:
         """A^T @ projections: exact adjoint of :meth:`forward`."""
         spec = self.spec
         projections = jnp.asarray(projections, jnp.float32)
+        nu, nv = len(spec.pixel_u), len(spec.pixel_v)
         acc = jnp.zeros((spec.n_pad, spec.n_pad, spec.nz), jnp.float32)
         for k, sel, thetas in self._calls:
-            acc = acc + _sw_backproject_group(
-                spec, k, projections[jnp.asarray(sel)], thetas
-            )
+            g = jnp.zeros((self.views_per_call, nv, nu), jnp.float32)
+            g = g.at[: len(sel)].set(projections[jnp.asarray(sel)])
+            acc = acc + _sw_backproject_group(spec, k, g, thetas)
         return _crop_volume(spec, acc)
 
 

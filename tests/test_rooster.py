@@ -72,13 +72,14 @@ def test_rooster_separates_motion_states():
     assert left[1] > right[1] * 1.2
 
 
-def _recon_error(projections, angles, phase, grid, spacing, vol_a, vol_b, method):
+def _recon_error(projections, angles, phase, grid, spacing, vol_a, vol_b,
+                 method, projector="joseph"):
     volumes = rooster_reconstruct(
         projections, GEOM, angles, phase, grid=grid,
         parameters=RoosterParameters(
             n_phases=2, n_iterations=3, n_data_subiterations=2,
             n_tv_iterations=5, gamma_space=1e-5, gamma_time=1e-4,
-            data_step_size=0.5, data_method=method,
+            data_step_size=0.5, data_method=method, projector=projector,
         ),
     )
     err = 0.0
@@ -254,3 +255,44 @@ def test_cg_host_dispatch_matches_fused():
         )
     scale = np.abs(out["fused"]).max()
     assert np.abs(out["fused"] - out["host"]).max() <= 1e-4 * scale
+
+
+def test_rooster_shearwarp_cg_production_path():
+    """The production data term (shear-warp MXU projector pair) separates
+    the motion states and reaches an error comparable to the ray-marched
+    CG on operator-consistent data."""
+    from cbctmc_tpu.recon.shearwarp import shearwarp_project
+
+    spacing = 4.0
+    vol_a = make_cylinder(+16.0, spacing=spacing)
+    vol_b = make_cylinder(-16.0, spacing=spacing)
+
+    n_proj = 24
+    angles = 270.0 + np.arange(n_proj) * 360.0 / n_proj
+    proj_a = shearwarp_project(vol_a, GEOM, angles[0::2],
+                               volume_spacing=(spacing,) * 3)
+    proj_b = shearwarp_project(vol_b, GEOM, angles[1::2],
+                               volume_spacing=(spacing,) * 3)
+    projections = np.empty((n_proj, GEOM.n_pixels_v, GEOM.n_pixels_u),
+                           np.float32)
+    projections[0::2] = proj_a
+    projections[1::2] = proj_b
+    phase = np.where(np.arange(n_proj) % 2 == 0, 0.0, 0.5)
+    grid = VolumeGrid(shape=(48, 48, 4), spacing=(spacing,) * 3)
+
+    err_sw, vols = _recon_error(
+        projections, angles, phase, grid, spacing, vol_a, vol_b, "cg",
+        projector="shearwarp",
+    )
+    assert np.isfinite(vols).all()
+    err_joseph, _ = _recon_error(
+        projections, angles, phase, grid, spacing, vol_a, vol_b, "cg",
+        projector="joseph",
+    )
+    # separates the states
+    right = vols[:, 28:40, 18:30, 2].mean(axis=(1, 2))
+    left = vols[:, 8:20, 18:30, 2].mean(axis=(1, 2))
+    assert right[0] > left[0] * 1.2
+    assert left[1] > right[1] * 1.2
+    # operator-consistent data: shear-warp CG must be at least as good
+    assert err_sw < err_joseph * 1.1, (err_sw, err_joseph)
