@@ -24,10 +24,17 @@ import click
               help="air scan .npy [4, v, u]")
 @click.option("--output-folder", type=click.Path(path_type=Path), required=True)
 @click.option("--bin-factor", type=int, default=4)
-@click.option("--crop-x", type=int, default=512, help="half-fan columns (wide grid)")
+@click.option("--crop-x", type=int, default=1024,
+              help="half-fan columns kept from the wide simulated detector "
+                   "(reference: 1848 -> 1024, cbctmc/mc/projection.py:46-50)")
 @click.option("--start-angle", type=float, default=270.0)
-@click.option("--pixel-size", type=float, default=0.776,
-              help="unbinned detector pixel [mm]")
+@click.option("--pixel-size", type=float, default=0.388,
+              help="unbinned detector pixel [mm] — MUST match the "
+                   "simulation's detector (SimulationParameters: 1848 px / "
+                   "717.024 mm = 0.388 mm). Round-4's queued acceptance ran "
+                   "with a stale 0.776/512 default pair against a 0.388 "
+                   "simulation, which crops the phantom shadow away "
+                   "entirely and reconstructs air")
 @click.option("--detector-offset", type=float, default=-159.856)
 @click.option("--wpc-orders", type=int, default=6,
               help="water-precorrection polynomial orders (reference: 6)")

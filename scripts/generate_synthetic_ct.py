@@ -127,19 +127,53 @@ def generate_case(seed: int, shape=(144, 112, 96)):
         )
         bones |= ring & body & ~lungs
 
-    # liver (lower-left lung side) and stomach
+    # liver (lower-left lung side): a multi-lobe union with varied size,
+    # position and orientation — the single fixed ellipsoid of rounds 1-4
+    # let the net memorise position instead of appearance (eval Dice
+    # 0.40-0.51; VERDICT round-4 weak item 4 / next-step 9)
+    lc = (
+        cx - body_rx * rng.uniform(0.2, 0.4),
+        cy + body_ry * rng.uniform(-0.05, 0.18),
+        nz * rng.uniform(0.12, 0.3),
+    )
     liver = _ellipsoid(
+        shape, lc,
+        (body_rx * rng.uniform(0.28, 0.42), body_ry * rng.uniform(0.32, 0.48),
+         nz * rng.uniform(0.16, 0.28)),
+        rng, wobble=0.08,
+    )
+    for _ in range(rng.integers(1, 3)):  # extra lobes
+        off = rng.uniform(-1, 1, 3) * (body_rx * 0.18, body_ry * 0.18, nz * 0.1)
+        liver |= _ellipsoid(
+            shape, (lc[0] + off[0], lc[1] + off[1], lc[2] + off[2]),
+            (body_rx * rng.uniform(0.14, 0.26), body_ry * rng.uniform(0.16, 0.3),
+             nz * rng.uniform(0.1, 0.2)),
+            rng, wobble=0.1,
+        )
+    liver = liver & interior & ~lungs
+
+    # stomach: a curved, partly gas-filled pouch (crescent = ellipsoid
+    # minus an offset core), with free size/position/rotation
+    sc = (
+        cx + body_rx * rng.uniform(0.15, 0.4),
+        cy + body_ry * rng.uniform(0.0, 0.22),
+        nz * rng.uniform(0.1, 0.28),
+    )
+    srx = body_rx * rng.uniform(0.16, 0.28)
+    sry = body_ry * rng.uniform(0.18, 0.3)
+    srz = nz * rng.uniform(0.1, 0.2)
+    stomach_outer = _ellipsoid(shape, sc, (srx, sry, srz), rng, wobble=0.08)
+    bite = _ellipsoid(
         shape,
-        (cx - body_rx * 0.3, cy + body_ry * 0.05, nz * rng.uniform(0.16, 0.25)),
-        (body_rx * 0.34, body_ry * 0.4, nz * 0.22),
+        (sc[0] + srx * rng.uniform(0.4, 0.9) * rng.choice([-1, 1]),
+         sc[1] + sry * rng.uniform(0.2, 0.7),
+         sc[2]),
+        (srx * rng.uniform(0.5, 0.9), sry * rng.uniform(0.5, 0.9),
+         srz * rng.uniform(0.8, 1.3)),
         rng,
-    ) & interior & ~lungs
-    stomach = _ellipsoid(
-        shape,
-        (cx + body_rx * 0.28, cy + body_ry * 0.1, nz * rng.uniform(0.12, 0.22)),
-        (body_rx * 0.2, body_ry * 0.24, nz * 0.14),
-        rng,
-    ) & interior & ~lungs & ~liver
+    )
+    stomach = stomach_outer & (~bite if rng.random() < 0.7 else True)
+    stomach = stomach & interior & ~lungs & ~liver
 
     other = interior & ~lungs & ~liver & ~stomach & ~bones
 
@@ -155,13 +189,23 @@ def generate_case(seed: int, shape=(144, 112, 96)):
     labels[BG][~assigned] = 1
 
     image = np.full(shape, HU["air"], np.float32)
-    image[other] = HU["other"]
-    image[muscle] = HU["muscle"]
-    image[fat] = HU["fat"]
-    image[liver] = HU["liver"]
-    image[stomach] = HU["stomach"]
-    image[lungs] = HU["lung"]
-    image[vessels] = HU["vessel"]
+    image[other] = HU["other"] + rng.uniform(-10, 10)
+    image[muscle] = HU["muscle"] + rng.uniform(-8, 8)
+    image[fat] = HU["fat"] + rng.uniform(-15, 15)
+    # organ contrast varies per scan (perfusion/contrast agent): draw the
+    # liver and stomach HU from their clinical ranges so the net must use
+    # appearance AND shape, not a memorised grey value
+    image[liver] = rng.uniform(40.0, 75.0)
+    image[stomach] = rng.uniform(-60.0, 45.0)
+    if rng.random() < 0.5:  # gas bubble in the stomach lumen
+        gas = _ellipsoid(
+            shape,
+            (sc[0], sc[1] - sry * 0.3, sc[2] + srz * rng.uniform(0.1, 0.4)),
+            (srx * 0.45, sry * 0.35, srz * 0.4), rng,
+        ) & stomach
+        image[gas] = rng.uniform(-850.0, -600.0)
+    image[lungs] = HU["lung"] + rng.uniform(-60, 60)
+    image[vessels] = HU["vessel"] + rng.uniform(-10, 10)
     image[bones] = HU["bone"] * rng.uniform(0.8, 1.3)
 
     # smooth bias field + noise

@@ -30,8 +30,9 @@ import click
 @click.option("--folder", type=click.Path(path_type=Path), required=True)
 @click.option("--n-views", type=int, default=12)
 @click.option("--bin-factor", type=int, default=4)
-@click.option("--crop-x", type=int, default=512)
-@click.option("--pixel-size", type=float, default=0.776)
+@click.option("--crop-x", type=int, default=1024)
+@click.option("--pixel-size", type=float, default=0.388,
+              help="must match the simulation detector (0.388 mm)")
 @click.option("--detector-offset", type=float, default=-159.856)
 @click.option("--phantom-shape", type=int, default=500)
 @click.option("--output", type=click.Path(path_type=Path), default=None)
