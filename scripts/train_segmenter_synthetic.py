@@ -33,8 +33,12 @@ import click
               help="volumes held out of training for the Dice eval")
 @click.option("--min-dice", type=float, default=0.5,
               help="publication gate: mean held-out foreground Dice")
+@click.option("--min-class-dice", type=float, default=0.4,
+              help="publication gate: PER-CLASS floor on the held-out mean "
+                   "of every foreground label (VERDICT round-4 item 9: the "
+                   "mean-only gate let stomach ship at 0.06)")
 def main(data_dir, output_dir, n_steps, patch_shape, batch_size,
-         learning_rate, publish, n_holdout, min_dice):
+         learning_rate, publish, n_holdout, min_dice, min_class_dice):
     import jax
     import numpy as np
 
@@ -110,6 +114,14 @@ def main(data_dir, output_dir, n_steps, patch_shape, batch_size,
         print(f"holdout {vi}: " + ", ".join(
             f"{k}={v:.3f}" for k, v in vol.items()), flush=True)
     report["mean_foreground_dice"] = float(np.mean(dices)) if dices else 0.0
+    # per-class held-out means (for the per-class gate floor)
+    per_class = {}
+    for li, name in LABELS.items():
+        if li == 0 or li == N_SOFTMAX_LABELS - 1:
+            continue
+        vals = [v[name] for v in report["per_volume"]]
+        per_class[name] = float(np.mean(vals)) if vals else 0.0
+    report["per_class_mean_dice"] = per_class
     Path(output_dir).mkdir(parents=True, exist_ok=True)
     with open(Path(output_dir) / "segmenter_eval.json", "w") as f:
         json.dump(report, f, indent=2)
@@ -124,9 +136,14 @@ def main(data_dir, output_dir, n_steps, patch_shape, batch_size,
             Path(__file__).parent.parent / "cbctmc_tpu/assets/models/segmenter",
             report,
             lambda r: (
-                r["mean_foreground_dice"] >= min_dice,
+                r["mean_foreground_dice"] >= min_dice
+                and min(r["per_class_mean_dice"].values()) >= min_class_dice,
                 f"mean held-out foreground Dice "
-                f"{r['mean_foreground_dice']:.3f} (gate: >= {min_dice})",
+                f"{r['mean_foreground_dice']:.3f} (gate: >= {min_dice}), "
+                f"weakest class "
+                f"{min(r['per_class_mean_dice'], key=r['per_class_mean_dice'].get)}"
+                f"={min(r['per_class_mean_dice'].values()):.3f} "
+                f"(gate: >= {min_class_dice})",
             ),
         )
 
