@@ -55,6 +55,27 @@ from cbctmc_tpu.engine.transport import (
 
 DEG2RAD = np.pi / 180.0
 
+# id(packed) -> (weakref-less) present-material index array; volumes are
+# long-lived within a scan, and a stale hit on a recycled id would only
+# change performance... but correctness too (wrong compaction), so the
+# cache also keys on shape and a cheap device-side checksum.
+_PRESENT_CACHE: dict = {}
+
+
+def _present_materials_cached(volume) -> np.ndarray:
+    import jax.numpy as _jnp
+
+    key = (id(volume.packed), tuple(volume.shape))
+    hit = _PRESENT_CACHE.get(key)
+    checksum = int(np.asarray(_jnp.bitwise_xor.reduce(volume.packed[:: 4097])))
+    if hit is not None and hit[0] == checksum:
+        return hit[1]
+    present = np.unique(
+        (np.asarray(volume.packed) >> _MAT_SHIFT).astype(np.int32)
+    )
+    _PRESENT_CACHE[key] = (checksum, present)
+    return present
+
 
 # ---------------------------------------------------------------------------
 # per-pixel emission fractions
@@ -105,14 +126,21 @@ def _trace_chunk(
     shape: Tuple[int, int, int],
     voxel_size: jnp.ndarray,  # f32[3] cm
     den_scale: jnp.ndarray,
-    inv_rho_nominal: jnp.ndarray,  # f32[n_materials]
+    inv_rho_nominal: jnp.ndarray,  # f32[n_materials] (0 remaps to slot 0)
     src: jnp.ndarray,  # f32[3]
     dirs: jnp.ndarray,  # f32[n, 3] unit
     n_materials: int,
     max_iters: int,
+    mat_remap: jnp.ndarray | None = None,  # i32[n_all] -> compact index
 ):
     """Relative-density path lengths [n, n_materials] (cm at nominal
-    density) along each ray through the voxel volume."""
+    density) along each ray through the voxel volume.
+
+    ``mat_remap`` compacts the material axis to the scene's PRESENT
+    materials: the [n, n_materials] accumulator is while_loop-carried
+    through HBM every traversal step, so its width is the dominant memory
+    traffic — a water scene needs 3 slots, not 22 (the round-4 fast-scan
+    ran 22-wide and spent minutes/view on it)."""
     n = dirs.shape[0]
     nx, ny, nz = shape
     dims = jnp.asarray([nx, ny, nz], jnp.float32)
@@ -149,6 +177,8 @@ def _trace_chunk(
         flat = idx3[:, 0] + idx3[:, 1] * nx + idx3[:, 2] * (nx * ny)
         word = packed[flat]
         mat = (word >> _MAT_SHIFT).astype(jnp.int32)
+        if mat_remap is not None:
+            mat = mat_remap[mat]
         k_air = ((word >> _AIR_SHIFT) & 0x7).astype(jnp.int32)
         rho = (word & _DEN_MASK).astype(jnp.float32) * den_scale
 
@@ -276,15 +306,24 @@ def deterministic_primary(
     src = np.asarray(source.position[projection_index], np.float32)
     dirs = _detector_ray_dirs(geometry, src, detector, projection_index)
     n_rays = dirs.shape[0]
-    n_mat = len(table_set.materials)
+    n_all = len(table_set.materials)
 
-    inv_rho = np.array(
+    inv_rho_all = np.array(
         [1.0 / m.density for m in table_set.materials], np.float32
     )
     nx, ny, nz = volume.shape
     max_iters = 2 * (nx + ny + nz) + 8
 
-    mu = jnp.asarray(q.mu_matrix)  # [n_mat, n_pts]
+    # compact the material axis to the scene's present materials (see
+    # _trace_chunk): the accumulator width drives the loop's HBM traffic.
+    # Cached per volume — the presence scan readbacks the packed grid once,
+    # not once per view.
+    present = _present_materials_cached(volume)
+    remap = np.zeros(n_all, np.int32)
+    remap[present] = np.arange(len(present), dtype=np.int32)
+    n_mat = len(present)
+
+    mu = jnp.asarray(q.mu_matrix[present])  # [n_mat, n_pts]
     wE = jnp.asarray(q.weights * q.energies_ev)  # [n_pts]
     wE2 = jnp.asarray(q.weights * q.energies_ev.astype(np.float64) ** 2)
 
@@ -294,9 +333,10 @@ def deterministic_primary(
         s1 = min(s0 + ray_chunk, n_rays)
         L = _trace_chunk(
             volume.packed, volume.shape, volume.voxel_size,
-            volume.den_scale, jnp.asarray(inv_rho),
+            volume.den_scale, jnp.asarray(inv_rho_all[present]),
             jnp.asarray(src), jnp.asarray(dirs[s0:s1]),
             n_materials=n_mat, max_iters=max_iters,
+            mat_remap=jnp.asarray(remap),
         )
         trans = jnp.exp(-L @ mu)  # [chunk, n_pts]
         mean[s0:s1] = np.asarray(trans @ wE)
