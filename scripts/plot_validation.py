@@ -40,7 +40,11 @@ def plot_noise_fit(path: Path, out: Path) -> bool:
     plt = _style()
     d = json.loads(path.read_text())
     counts = np.array([float(k) for k in d["samples"]])
-    stds = np.array(list(d["samples"].values()), float)
+    vals = list(d["samples"].values())
+    # round-4 format: {count: std}; round-5: {count: {water_std: ...}}
+    stds = np.array(
+        [v["water_std"] if isinstance(v, dict) else v for v in vals], float
+    )
     a, c = d["fit_a"], d["fit_c"]
     fig, ax = plt.subplots(figsize=(4.2, 3.2))
     n_grid = np.geomspace(counts.min() / 4, counts.max() * 4, 200)
@@ -224,8 +228,10 @@ def main(output_dir):
          REPO / "docs/validation/catphan_acceptance_r3.json",
          "catphan_acceptance_r3.png"),
         (plot_acceptance,
-         REPO / "runs/catphan_r4/report/catphan_acceptance.json",
-         "catphan_acceptance_r4.png"),
+         REPO / "docs/validation/catphan_acceptance_r5.json",
+         "catphan_acceptance_r5.png"),
+        (plot_noise_fit, REPO / "runs/noise_fit_r5/noise_fit_r5.json",
+         "noise_fit_r5.png"),
         (plot_speedup, REPO / "runs/speedup/speedup_eval.json",
          "speedup_holdout.png"),
         (plot_4d_motion, REPO / "runs/4d_demo/4d_demo.json",
