@@ -37,10 +37,15 @@ ASSET_DIR = Path(__file__).parent.parent / "cbctmc_tpu/assets/models/speedup"
 @click.option("--seed", type=int, default=0)
 @click.option("--phantom-size", type=int, default=500,
               help="CatPhan grid for the FP guidance (tests use smaller)")
+@click.option("--n-low", type=float, default=6e6,
+              help="histories/view of the LOW scan fed to the model (the "
+                   "training operating point; train_speedup_from_catphan "
+                   "maps n_low -> the run's n_histories). 0 = legacy "
+                   "behaviour: denoise the run itself (off-distribution)")
 @click.option("--skip-acceptance", is_flag=True,
               help="stop after writing the denoised stacks (smoke test)")
 def main(folder, checkpoint, n_histories, batch_size, seed, phantom_size,
-         skip_acceptance):
+         n_low, skip_acceptance):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -65,9 +70,47 @@ def main(folder, checkpoint, n_histories, batch_size, seed, phantom_size,
     idx = np.load(folder / "angle_indices.npy")
     n_planned = len(np.load(folder / "order.npy"))
     angles = 270.0 + idx * 360.0 / n_planned
-    total = images[:, 1]
-    n_views, h, w = total.shape
+    n_views, _, h, w = images.shape
     print(f"{n_views} views {h}x{w}", flush=True)
+
+    if n_low and n_low > 0:
+        # the model's INPUT distribution is the training low point
+        # (n_low histories/view); simulate it rather than feeding the
+        # reference-statistics run to itself
+        low_path = folder / f"images_low_{int(n_low):d}.npy"
+        if not low_path.is_file():
+            from cbctmc_tpu.engine.simulate import (
+                MCScanner,
+                SimulationParameters,
+            )
+
+            sp_ph = 500.0 / phantom_size
+            phantom_low = CatPhan604Geometry(
+                shape=(phantom_size,) * 3, image_spacing=(sp_ph,) * 3
+            )
+            scanner = MCScanner(
+                phantom_low.materials, phantom_low.densities,
+                phantom_low.image_spacing,
+                parameters=SimulationParameters(
+                    n_histories=int(n_low), n_projections=n_planned,
+                    angle_between_projections=360.0 / n_planned,
+                ),
+            )
+            t0 = time.monotonic()
+            low_imgs, info = scanner.simulate(
+                angles_deg=angles, seed=seed + 31, progress=False,
+            )
+            print(f"low scan: {info.histories_per_second:.3e} hist/s "
+                  f"({time.monotonic() - t0:.0f}s)", flush=True)
+            np.save(low_path, np.stack(
+                [low_imgs[:, 0], low_imgs.sum(axis=1)], axis=1
+            ).astype(np.float32))
+        low_images = np.load(low_path)
+        total = low_images[:, 1]
+        primary_for_stack = low_images[:, 0]
+    else:
+        total = images[:, 1]
+        primary_for_stack = images[:, 0]
 
     # forward-projection guidance channel, same protocol as training
     # (train_speedup_from_catphan.py): bin-4 ray march, upsample, flip v
@@ -110,7 +153,7 @@ def main(folder, checkpoint, n_histories, batch_size, seed, phantom_size,
     for tag, denoised in (("sample", sample), ("mean", mean)):
         out = folder / f"images_speedup_{tag}.npy"
         np.save(out, np.stack(
-            [images[:, 0], np.clip(denoised, 0.0, None)], axis=1
+            [primary_for_stack, np.clip(denoised, 0.0, None)], axis=1
         ).astype(np.float32))
         if skip_acceptance:
             continue
