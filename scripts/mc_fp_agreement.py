@@ -104,7 +104,7 @@ def main(folder, n_views, bin_factor, crop_x, pixel_size, detector_offset,
     nu = crop_x // bin_factor
     nv = mc.shape[1]
 
-    def fp_at(offset_px: float) -> np.ndarray:
+    def fp_at(offset_px: float, step: float = 0.5) -> np.ndarray:
         geom = ConeBeamGeometry(
             sad=1000.0, sdd=1500.0, n_pixels_u=nu, n_pixels_v=nv,
             pixel_size_u=pixel_size * bin_factor,
@@ -114,7 +114,7 @@ def main(folder, n_views, bin_factor, crop_x, pixel_size, detector_offset,
         )
         return project_forward(
             mu_vol, geom, angles, volume_spacing=(spacing,) * 3,
-            step_mm=0.5 * spacing,
+            step_mm=step * spacing,
         )
 
     t0 = time.time()
@@ -141,22 +141,31 @@ def main(folder, n_views, bin_factor, crop_x, pixel_size, detector_offset,
         "beam_hardening_fit": [float(c) for c in coef],
     }
 
-    # lateral-offset scan: NCC as a function of a detector-u shift; the
-    # argmax localises any residual geometric offset (reference:
-    # brute_force_test_geometry searched the same axis)
-    offsets = [-2.0, -1.0, -0.5, -0.25, 0.25, 0.5, 1.0, 2.0]
-    scan = {"0.0": report["ncc_raw"]}
-    for off in offsets:
-        scan[str(off)] = float(normalized_cross_correlation(fp_at(off), mc))
-        print(f"offset {off:+.2f} px -> ncc {scan[str(off)]:.6f}", flush=True)
-    best = max(scan, key=scan.get)
-    report["offset_scan_ncc"] = scan
-    report["best_offset_px"] = float(best)
-    report["centered_is_best"] = best == "0.0"
-
+    # persist the core agreement BEFORE the (slow) offset scan so a killed
+    # run still leaves the record
     output = output or (folder / "mc_fp_agreement.json")
     with open(output, "w") as f:
         json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2), flush=True)
+
+    # lateral-offset scan: NCC as a function of a detector-u shift; the
+    # argmax localises any residual geometric offset (reference:
+    # brute_force_test_geometry searched the same axis). Coarser 1-voxel
+    # march: NCC ranking is insensitive to the along-ray quadrature and the
+    # half-step march costs ~2x
+    scan = {"0.0": float(normalized_cross_correlation(
+        fp_at(0.0, step=1.0), mc))}
+    for off in [-1.0, -0.5, 0.5, 1.0]:
+        scan[str(off)] = float(
+            normalized_cross_correlation(fp_at(off, step=1.0), mc)
+        )
+        print(f"offset {off:+.2f} px -> ncc {scan[str(off)]:.6f}", flush=True)
+        best = max(scan, key=scan.get)
+        report["offset_scan_ncc"] = scan
+        report["best_offset_px"] = float(best)
+        report["centered_is_best"] = best == "0.0"
+        with open(output, "w") as f:
+            json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2), flush=True)
 
 
