@@ -128,6 +128,18 @@ def main(folder, n_histories_mc, n_histories_target, phantom_shape, n_sub,
                   f"{(n_views - i - 1) * el / (i + 1) / 60:.0f} min)  "
                   f"running total MC/det = {tot_mc / max(tot_det, 1e-9):.4f}",
                   flush=True)
+        if (i + 1) % 50 == 0:
+            # incremental record: a killed run still leaves the measured
+            # steady-state s/view and the running validation stats
+            with open(folder / "fast_scan_validation_partial.json", "w") as f:
+                json.dump({
+                    "views_done": int(i + 1),
+                    "seconds_per_view": (time.monotonic() - t0) / (i + 1),
+                    "primary_total_ratio_mc_over_det":
+                        tot_mc / max(tot_det, 1e-9),
+                    "superpixel_abs_z_mean": z_sum / max(z_n, 1),
+                    "superpixel_abs_z_max": z_max,
+                }, f, indent=2)
     fast.flush()
 
     validation = {
