@@ -1,0 +1,131 @@
+"""Robust motion-recovery analysis of the 4D ROOSTER reconstruction.
+
+The demo's original metric (global centroid of positive difference from the
+time mean) is dominated by sparse-view streaks at ~7-14 views/bin; this
+script tracks the moving insert itself: a Laplacian-of-Gaussian blob
+detection on the time-mean volume localises the insert (bright sphere
+inside dark lung), and each phase's position is the local intensity
+centroid in a window around it. Writes the recovered trajectory, its
+correlation with the imposed per-bin amplitude and the span, back into
+runs/4d_demo/4d_demo.json (keys prefixed 'tracked_') and a figure.
+
+Usage: python scripts/analyze_4d_motion.py [--folder runs/4d_demo]
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import click
+
+
+@click.command()
+@click.option("--folder", type=click.Path(path_type=Path),
+              default=Path("runs/4d_demo"))
+@click.option("--window", type=int, default=10,
+              help="half-size of the tracking window [voxels]")
+def main(folder, window):
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from cbctmc_tpu.utils.io import read_image
+
+    folder = Path(folder)
+    with open(folder / "4d_demo.json") as f:
+        report = json.load(f)
+    vol4d, _ = read_image(Path(report["reconstruction"]))
+    n_bins = vol4d.shape[-1]
+    spacing_mm = 2.0
+
+    mean = np.nanmean(vol4d, axis=-1)
+    # blob detection: difference of Gaussians picks the compact bright
+    # insert inside the dark lung; exclude the volume border (streaks)
+    dog = gaussian_filter(mean, 2.0) - gaussian_filter(mean, 6.0)
+    interior = np.zeros_like(dog, bool)
+    b = 16
+    interior[b:-b, b:-b, 8:-8] = True
+    dog = np.where(interior, dog, -np.inf)
+    p0 = np.array(np.unravel_index(np.argmax(dog), dog.shape))
+    print("insert located at", p0.tolist())
+
+    lo = np.maximum(p0 - window, 0)
+    hi = np.minimum(p0 + window + 1, mean.shape)
+    sl = tuple(slice(l, h) for l, h in zip(lo, hi))
+
+    coords = np.meshgrid(
+        *[np.arange(l, h) for l, h in zip(lo, hi)], indexing="ij"
+    )
+    positions = []
+    for k in range(n_bins):
+        w = gaussian_filter(vol4d[..., k], 1.5)[sl]
+        w = np.clip(w - np.percentile(w, 50), 0, None)  # local contrast
+        s = w.sum()
+        positions.append(
+            [float((c * w).sum() / s) for c in coords] if s > 0
+            else [np.nan] * 3
+        )
+    positions = np.asarray(positions)
+
+    imposed = np.asarray(report["imposed_amplitude_per_bin"], float)
+    spans = np.nanmax(positions, 0) - np.nanmin(positions, 0)
+    axis = int(np.nanargmax(spans))
+    traj = positions[:, axis]
+    ok = ~(np.isnan(imposed) | np.isnan(traj))
+    corr = float(np.corrcoef(imposed[ok], traj[ok])[0, 1]) if ok.sum() > 2 \
+        else None
+    # imposed motion: amplitude * amp_vox along -z; compare spans
+    span_mm = float(spans[axis] * spacing_mm)
+    imposed_span_mm = float(
+        (np.nanmax(imposed) - np.nanmin(imposed))
+        * report["amplitude_mm"]
+    )
+
+    tracked = {
+        "tracked_insert_position": [int(x) for x in p0],
+        "tracked_axis": axis,
+        "tracked_positions_vox": positions.tolist(),
+        "tracked_trajectory_vox": [float(x) for x in traj],
+        "tracked_amplitude_correlation": corr,
+        "tracked_span_mm": span_mm,
+        "imposed_span_mm": imposed_span_mm,
+        "span_ratio": span_mm / imposed_span_mm if imposed_span_mm else None,
+    }
+    report.update(tracked)
+    with open(folder / "4d_demo.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(tracked, indent=2))
+
+    # figure
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(4.6, 3.2))
+        bins = np.arange(n_bins)
+        ax.plot(bins, (traj - np.nanmean(traj)) * spacing_mm, "o-",
+                label="recovered insert position")
+        scale = (np.nanstd(traj) * spacing_mm) / max(np.nanstd(imposed), 1e-9)
+        sgn = -1.0 if (corr or 0) < 0 else 1.0
+        ax.plot(bins, sgn * (imposed - np.nanmean(imposed)) * scale, "s--",
+                label="imposed amplitude (scaled)")
+        ax.set_xlabel("ROOSTER phase bin")
+        ax.set_ylabel("SI displacement [mm]")
+        ax.set_title(
+            f"4D motion recovery (|r| = {abs(corr):.2f}, "
+            f"span {span_mm:.1f} mm vs {imposed_span_mm:.1f} mm imposed)"
+        )
+        ax.legend(fontsize=7)
+        out = Path("docs/validation/figures/4d_motion_recovery.png")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        fig.tight_layout()
+        fig.savefig(out, dpi=150)
+        print("figure:", out)
+    except Exception as exc:  # matplotlib optional
+        print("figure skipped:", exc)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,11 +47,14 @@ import click
                    "from the FDK warm start)")
 @click.option("--rooster-cg-iterations", type=int, default=2,
               help="CG sub-iterations per data term (reference: 4)")
+@click.option("--skip-fp", is_flag=True,
+              help="skip the density_fp_4d forward projection (speedup "
+                   "guidance channel; not needed for the recon deliverable)")
 @click.option("--rooster-phases", type=int, default=5,
               help="ROOSTER phase bins (reference production: 10; 72 "
                    "demo projections give ~14 soft-assigned views/bin at 5)")
 def main(output_folder, n_projections, n_histories, air_histories,
-         amplitude_mm, n_phases, quantization, n_lanes,
+         amplitude_mm, n_phases, quantization, n_lanes, skip_fp,
          rooster_iterations, rooster_cg_iterations, rooster_phases):
     import jax
 
@@ -189,7 +192,9 @@ def main(output_folder, n_projections, n_histories, air_histories,
     from cbctmc_tpu.cli import _forward_project_geometry_4d
 
     t3 = time.monotonic()
-    if (sim_folder / "density_fp_4d.mha").is_file():
+    if skip_fp:
+        print("density_fp_4d skipped (--skip-fp)", flush=True)
+    elif (sim_folder / "density_fp_4d.mha").is_file():
         print("density_fp_4d.mha present; skipping", flush=True)
     else:
         _forward_project_geometry_4d(sim_folder, n_projections=n_projections)
