@@ -154,11 +154,16 @@ class MCSegmenter:
             image = np.pad(image, pad)
 
         stitcher = PatchStitcher((N_LABELS, *image.shape))
-        for slicing in ordered_patch_slicings(
+        slicings = list(ordered_patch_slicings(
             image.shape, self.patch_shape, self.patch_overlap
-        ):
+        ))
+        logger.info("Segmenting %s in %d patches of %s",
+                    original_shape, len(slicings), self.patch_shape)
+        for pi, slicing in enumerate(slicings):
             patch = jnp.asarray(image[slicing][None, ..., None])
             logits = np.asarray(self._apply(self.params, patch))[0]
+            if pi == 0 or (pi + 1) % 8 == 0:
+                logger.info("segment patch %d/%d", pi + 1, len(slicings))
             probs = np.empty_like(logits)
             probs[..., :N_SOFTMAX_LABELS] = jax.nn.softmax(
                 logits[..., :N_SOFTMAX_LABELS], axis=-1
