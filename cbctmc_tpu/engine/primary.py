@@ -50,6 +50,7 @@ from cbctmc_tpu.engine.transport import (
     _AIR_SHIFT,
     _DEN_MASK,
     _MAT_SHIFT,
+    _SOFT_SHIFT,
     VoxelVolume,
 )
 
@@ -75,6 +76,89 @@ def _present_materials_cached(volume) -> np.ndarray:
     )
     _PRESENT_CACHE[key] = (checksum, present)
     return present
+
+
+def uniform_clearance_volume(
+    volume: VoxelVolume, max_level: int = 7
+) -> VoxelVolume:
+    """PRIMARY-ONLY repack: clearance over UNIFORM regions, not just air.
+
+    The traversal in :func:`_trace_chunk` accumulates ``seg * rho *
+    inv_rho_nominal[mat]`` over a whole clearance-box jump, which is exact
+    whenever every voxel in the |.|_inf <= 2^k box shares one packed
+    (material, density) word — the guarantee the stock volume provides only
+    for air. Phantom scenes are piecewise constant (water bulk, solid
+    inserts), so generalising the clearance to "word-uniform boxes" lets
+    the marcher cross the bulk in multi-voxel spans and cuts the per-view
+    gather count (the measured cost floor, docs/ROOFLINE.md round-5
+    addendum 2) several-fold. Patient scenes, whose per-voxel densities
+    vary continuously, simply keep k = 0 outside air — no loss.
+
+    DO NOT pass the returned volume to the transport engine: its Woodcock
+    flight treats clearance boxes as AIR (analytic air crossing,
+    transport.py air_skip path), which is wrong for a water box. The
+    ``packed_pairs`` view is a dummy so the production engine's paired
+    gathers fail loudly on misuse.
+
+    The box-uniformity field is computed with the same block pyramid as
+    ``_air_clearance_field``, carrying per-block (min, max) of the base
+    word; a level-k block is safe when min == max over its 3^3 block
+    neighbourhood (which covers the |.|_inf <= 2^k box of every voxel in
+    the centre block). Missing neighbours at the volume edge are ignored
+    (identity padding): outside the grid the ray is clipped to t_far, so
+    uniformity beyond the edge is irrelevant."""
+    nx, ny, nz = (int(s) for s in volume.shape)
+    n_vox = nx * ny * nz
+    flat = np.asarray(volume.packed)[:n_vox]
+    clear_bits = np.uint32((0x7 << _AIR_SHIFT) | (0x7 << _SOFT_SHIFT))
+    base = flat & ~clear_bits
+    k_air = ((flat >> _AIR_SHIFT) & 0x7).astype(np.uint8)
+
+    w = base.reshape(nz, ny, nx)  # flat = x + y*nx + z*nx*ny
+    k_field = np.zeros(w.shape, np.uint8)
+    lo, hi = w, w
+    for level in range(1, max_level + 1):
+        s = lo.shape
+        pshape = tuple((d + 1) // 2 * 2 for d in s)
+        plo = np.full(pshape, np.uint32(0xFFFFFFFF))
+        phi = np.zeros(pshape, np.uint32)
+        plo[: s[0], : s[1], : s[2]] = lo
+        phi[: s[0], : s[1], : s[2]] = hi
+        r = lambda a: a.reshape(
+            pshape[0] // 2, 2, pshape[1] // 2, 2, pshape[2] // 2, 2
+        )
+        lo = r(plo).min(axis=(1, 3, 5))
+        hi = r(phi).max(axis=(1, 3, 5))
+        nb_lo, nb_hi = lo.copy(), hi.copy()
+        for axis in range(3):
+            for arr, pad, red in ((nb_lo, np.uint32(0xFFFFFFFF), np.minimum),
+                                  (nb_hi, np.uint32(0), np.maximum)):
+                shifted_p = np.full_like(arr, pad)
+                shifted_m = np.full_like(arr, pad)
+                src = [slice(None)] * 3
+                dst = [slice(None)] * 3
+                src[axis] = slice(0, -1)
+                dst[axis] = slice(1, None)
+                shifted_p[tuple(dst)] = arr[tuple(src)]
+                shifted_m[tuple(src)] = arr[tuple(dst)]
+                arr[...] = red(arr, red(shifted_p, shifted_m))
+        safe = nb_lo == nb_hi
+        if not safe.any():
+            break
+        fine = np.repeat(
+            np.repeat(np.repeat(safe, 1 << level, 0), 1 << level, 1),
+            1 << level, 2,
+        )[:nz, :ny, :nx]
+        k_field[fine] = level
+
+    k_total = np.maximum(k_field.reshape(-1), k_air).astype(np.uint32)
+    new_flat = base | (k_total << _AIR_SHIFT)
+    if volume.packed.shape[0] != n_vox:  # odd-length pad word
+        new_flat = np.concatenate([new_flat, new_flat[-1:]])
+    return volume._replace(
+        packed=jnp.asarray(new_flat),
+        packed_pairs=jnp.zeros((1, 2), jnp.uint32),  # poison: primary-only
+    )
 
 
 # ---------------------------------------------------------------------------

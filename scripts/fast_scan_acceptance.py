@@ -35,8 +35,14 @@ import click
 @click.option("--seed", type=int, default=20260819)
 @click.option("--scatter-smooth-sigma", type=float, default=8.0)
 @click.option("--skip-acceptance", is_flag=True)
+@click.option("--uniform-clearance/--no-uniform-clearance", default=True,
+              help="repack the volume with word-uniform clearance boxes "
+                   "(primary.uniform_clearance_volume): identical images "
+                   "(tests/test_primary.py), several-fold fewer gathers "
+                   "through the piecewise-constant phantom bulk")
 def main(folder, n_histories_mc, n_histories_target, phantom_shape, n_sub,
-         ray_chunk, seed, scatter_smooth_sigma, skip_acceptance):
+         ray_chunk, seed, scatter_smooth_sigma, skip_acceptance,
+         uniform_clearance):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -73,6 +79,15 @@ def main(folder, n_histories_mc, n_histories_target, phantom_shape, n_sub,
     angles = scanner.projection_angles()[idx]
     source, detector = build_scan(scanner.scan_geometry, angles)
 
+    volume = scanner.volume
+    if uniform_clearance:
+        from cbctmc_tpu.engine.primary import uniform_clearance_volume
+
+        t0 = time.monotonic()
+        volume = uniform_clearance_volume(volume)
+        print(f"uniform-clearance repack: {time.monotonic() - t0:.1f}s",
+              flush=True)
+
     q = SpectrumQuadrature.build(scanner.table_set, scanner.spectrum, n_sub)
     fractions = photon_fractions(scanner.scan_geometry)
     p = scanner.parameters
@@ -97,7 +112,7 @@ def main(folder, n_histories_mc, n_histories_target, phantom_shape, n_sub,
     t0 = time.monotonic()
     for i in range(n_views):
         mean, var = deterministic_primary(
-            scanner.volume, scanner.table_set, scanner.spectrum,
+            volume, scanner.table_set, scanner.spectrum,
             scanner.scan_geometry, source, detector, projection_index=i,
             ray_chunk=ray_chunk, fractions=fractions, quadrature=q,
         )

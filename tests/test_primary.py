@@ -222,3 +222,59 @@ def test_fast_scan_composition():
     model_std = np.sqrt(p_var[0, 0] / 1e6)
     emp_std = prims.std(axis=0, ddof=1).mean()
     assert emp_std == pytest.approx(model_std, rel=0.25)
+
+
+def test_uniform_clearance_volume_levels_and_equality(table_set):
+    """The PRIMARY-ONLY uniform-clearance repack (a) marks only voxels
+    whose |.|_inf <= 2^k box is word-uniform, and (b) leaves the traced
+    path lengths unchanged (spans accumulate the same seg * rho)."""
+    from cbctmc_tpu.engine.primary import uniform_clearance_volume
+    from cbctmc_tpu.engine.transport import _AIR_SHIFT as AIR_SHIFT
+
+    water = table_set.material("h2o")
+    acrylic = table_set.material("acrylic")
+    shape = (48, 48, 48)
+    mats = np.full(shape, water.number, np.uint8)
+    dens = np.full(shape, water.density, np.float32)
+    # an insert breaking uniformity + an air pocket
+    mats[30:38, 8:20, 10:22] = acrylic.number
+    dens[30:38, 8:20, 10:22] = acrylic.density
+    mats[4:10, 36:44, 30:40] = 1
+    dens[4:10, 36:44, 30:40] = 0.0012
+    volume = make_voxel_volume(mats.astype(np.int32) - 1, dens, (0.5,) * 3)
+    uni = uniform_clearance_volume(volume)
+
+    n_vox = int(np.prod(shape))
+    flat = np.asarray(uni.packed)[:n_vox]
+    k = (flat >> AIR_SHIFT) & 0x7
+    base = np.asarray(volume.packed)[:n_vox] & ~np.uint32(0x3F << 21)
+    w = base.reshape(shape[2], shape[1], shape[0])
+    kz = k.reshape(shape[2], shape[1], shape[0])
+    assert (kz > 0).mean() > 0.5  # the bulk gets real clearance
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        z, y, x = (int(rng.integers(0, s)) for s in shape[::-1])
+        lvl = int(kz[z, y, x])
+        if lvl == 0:
+            continue
+        r = 1 << lvl
+        box = w[max(z - r, 0):z + r + 1, max(y - r, 0):y + r + 1,
+                max(x - r, 0):x + r + 1]
+        assert (box == w[z, y, x]).all(), (z, y, x, lvl)
+
+    g = _geom()
+    source, detector = build_scan(g, [270.0])
+    src = np.asarray(source.position[0])
+    dirs = _detector_ray_dirs(g, src, detector, 0)
+    inv_rho = np.array([1.0 / m.density for m in table_set.materials],
+                       np.float32)
+
+    def trace(vol):
+        return np.asarray(_trace_chunk(
+            vol.packed, vol.shape, vol.voxel_size, vol.den_scale,
+            jnp.asarray(inv_rho), jnp.asarray(src), jnp.asarray(dirs),
+            n_materials=table_set.n_materials, max_iters=400,
+        ))
+
+    L_ref, L_uni = trace(volume), trace(uni)
+    np.testing.assert_allclose(L_uni, L_ref, rtol=2e-4, atol=5e-4)
