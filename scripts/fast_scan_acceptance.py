@@ -129,10 +129,17 @@ def main(folder, n_histories_mc, n_histories_target, phantom_shape, n_sub,
             return r.mean(axis=(1, 3)) if red == "mean" else r.sum(axis=(1, 3))
 
         sig = np.sqrt(sp(var, "sum") / n_histories_mc) / (k * k)
-        z = (sp(mc_p) - sp(mean)) / np.maximum(sig, 1e-12)
+        # superpixels with zero PREDICTED variance (outside the source
+        # aperture) are excluded: the MC boundary pixels carry O(1e-6)
+        # residue there and a sigma floor would manufacture astronomical
+        # z-scores (this clipped the round-5 first pass; see
+        # rescore_fast_scan_validation.py for the masked re-score)
+        valid = sig > 1e-20
+        z = np.where(valid, (sp(mc_p) - sp(mean)) / np.maximum(sig, 1e-20),
+                     0.0)
         z_max = max(z_max, float(np.abs(z).max()))
         z_sum += float(np.abs(z).sum())
-        z_n += z.size
+        z_n += int(valid.sum())
 
         fp, ft = compose_fast_view(keys[i], mean, var, mc_p, mc_t, cfg)
         fast[i, 0], fast[i, 1] = fp, ft

@@ -1,0 +1,131 @@
+"""Re-score the fast-scan primary validation with the masked z metric.
+
+The round-5 first pass of ``fast_scan_acceptance.py`` recorded superpixel
+z-scores against a 1e-12 sigma floor; superpixels OUTSIDE the source
+aperture have exactly zero predicted variance while the MC image carries
+O(1e-6) boundary residue there, so the floor manufactured |z| up to 2e6
+and poisoned the mean. This script recomputes the deterministic primary
+for an evenly spaced subset of views ON CPU (no TPU contention with the
+running validation queue) and reports the masked statistics: mean/p99/max
+|z| over superpixels with nonzero predicted variance, plus the masked
+fraction. The aggregate-energy ratio is recomputed as a cross-check.
+
+Usage:
+    python scripts/rescore_fast_scan_validation.py --folder runs/catphan_r5b \
+        [--n-views 6]
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import click
+
+
+@click.command()
+@click.option("--folder", type=click.Path(path_type=Path), required=True)
+@click.option("--n-views", type=int, default=6)
+@click.option("--n-histories-mc", type=float, default=1.2e8)
+@click.option("--phantom-shape", type=int, default=500)
+@click.option("--ray-chunk", type=int, default=262_144)
+@click.option("--output", type=click.Path(path_type=Path), default=None)
+def main(folder, n_views, n_histories_mc, phantom_shape, ray_chunk, output):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from cbctmc_tpu.engine.ct import build_scan
+    from cbctmc_tpu.engine.primary import (
+        SpectrumQuadrature,
+        deterministic_primary,
+        photon_fractions,
+        uniform_clearance_volume,
+    )
+    from cbctmc_tpu.engine.simulate import MCScanner, SimulationParameters
+    from cbctmc_tpu.geometry.phantoms import CatPhan604Geometry
+
+    folder = Path(folder)
+    images = np.load(folder / "images.npy", mmap_mode="r")
+    idx = np.load(folder / "angle_indices.npy")
+    n_planned = len(np.load(folder / "order.npy"))
+    n_avail = images.shape[0]
+
+    spacing = 500.0 / phantom_shape
+    phantom = CatPhan604Geometry(shape=(phantom_shape,) * 3,
+                                 image_spacing=(spacing,) * 3)
+    scanner = MCScanner(
+        phantom.materials, phantom.densities, phantom.image_spacing,
+        parameters=SimulationParameters(
+            n_projections=n_planned,
+            angle_between_projections=360.0 / n_planned,
+        ),
+    )
+    angles = scanner.projection_angles()[idx]
+    source, detector = build_scan(scanner.scan_geometry, angles)
+    volume = uniform_clearance_volume(scanner.volume)
+    q = SpectrumQuadrature.build(scanner.table_set, scanner.spectrum, 2)
+    fractions = photon_fractions(scanner.scan_geometry)
+
+    sel = np.unique(np.linspace(0, n_avail - 1, n_views).astype(int))
+    k = 16
+    z_all, masked_frac = [], []
+    tot_mc = tot_det = 0.0
+    t0 = time.monotonic()
+    for j, i in enumerate(sel):
+        mean, var = deterministic_primary(
+            volume, scanner.table_set, scanner.spectrum,
+            scanner.scan_geometry, source, detector, projection_index=int(i),
+            ray_chunk=ray_chunk, fractions=fractions, quadrature=q,
+        )
+        mc_p = np.asarray(images[i, 0], np.float32)
+        tot_mc += float(mc_p.sum())
+        tot_det += float(mean.sum())
+        v, u = (mean.shape[0] // k) * k, (mean.shape[1] // k) * k
+
+        def sp(x, red="mean"):
+            r = x[:v, :u].reshape(v // k, k, u // k, k)
+            return r.mean(axis=(1, 3)) if red == "mean" else r.sum(axis=(1, 3))
+
+        sig = np.sqrt(sp(var, "sum") / n_histories_mc) / (k * k)
+        valid = sig > 1e-20
+        z = (sp(mc_p)[valid] - sp(mean)[valid]) / sig[valid]
+        z_all.append(z.ravel())
+        masked_frac.append(1.0 - valid.mean())
+        print(f"view {int(i)} ({j + 1}/{len(sel)}): "
+              f"mean|z|={np.abs(z).mean():.3f} max|z|={np.abs(z).max():.2f} "
+              f"masked={masked_frac[-1]:.3f} "
+              f"({(time.monotonic() - t0) / (j + 1):.0f} s/view)",
+              flush=True)
+
+    z = np.concatenate(z_all)
+    report = {
+        "n_views": int(len(sel)),
+        "view_indices": [int(i) for i in sel],
+        "superpixel": k,
+        "n_histories_mc": n_histories_mc,
+        "primary_total_ratio_mc_over_det": tot_mc / tot_det,
+        "abs_z_mean": float(np.abs(z).mean()),
+        "abs_z_p99": float(np.percentile(np.abs(z), 99)),
+        "abs_z_max": float(np.abs(z).max()),
+        "z_mean": float(z.mean()),
+        "z_std": float(z.std()),
+        "n_superpixels": int(z.size),
+        "masked_fraction": float(np.mean(masked_frac)),
+        "platform": "cpu",
+    }
+    output = output or (folder / "fast_scan_validation_rescored.json")
+    with open(output, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
