@@ -95,7 +95,13 @@ def main(folder, n_views, n_histories_mc, phantom_shape, ray_chunk, output):
             return r.mean(axis=(1, 3)) if red == "mean" else r.sum(axis=(1, 3))
 
         sig = np.sqrt(sp(var, "sum") / n_histories_mc) / (k * k)
-        valid = sig > 1e-20
+        # relative mask: aperture-EDGE superpixels have minuscule but
+        # nonzero predicted sigma (partial source-fraction coverage) while
+        # the MC still deposits boundary bleed there; z is only meaningful
+        # where the predicted noise scale is real. 1e-3 of the in-view
+        # median keeps everything inside the fan.
+        pos = sig[sig > 0]
+        valid = sig > 1e-3 * (np.median(pos) if pos.size else 1.0)
         z = (sp(mc_p)[valid] - sp(mean)[valid]) / sig[valid]
         z_all.append(z.ravel())
         masked_frac.append(1.0 - valid.mean())
@@ -115,6 +121,7 @@ def main(folder, n_views, n_histories_mc, phantom_shape, ray_chunk, output):
         "abs_z_mean": float(np.abs(z).mean()),
         "abs_z_p99": float(np.percentile(np.abs(z), 99)),
         "abs_z_max": float(np.abs(z).max()),
+        "frac_abs_z_gt5": float((np.abs(z) > 5).mean()),
         "z_mean": float(z.mean()),
         "z_std": float(z.std()),
         "n_superpixels": int(z.size),
