@@ -21,7 +21,7 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the shell exports axon: FORCE cpu
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
